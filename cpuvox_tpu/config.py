@@ -1,0 +1,44 @@
+"""Render configuration.
+
+The reference keeps these as compile-time constants and immediate-mode GUI state
+(SURVEY.md §5 "Config / flag system"; UnityManager.cs:25-33,381-403). Here they are a real
+config dataclass.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static per-session render settings (changing them triggers re-jit)."""
+
+    width: int = 1280
+    height: int = 720
+
+    # camera intrinsics (reference scene: FOV 85, near 0.05, far 1000;
+    # Assets/Scenes/SampleScene.unity:176-178 — far is overwritten per-world by
+    # UnityManager.SetupLods, :421-423)
+    fov_y_deg: float = 85.0
+    near_clip: float = 0.05
+
+    # LOD policy (UnityManager.cs:42, :436 "lodError", World.cs REPEAT_WORLD clip scaling)
+    lod_levels: int = 6
+    lod_error: float = 1.0
+
+    # march bounds for the fixed-shape TPU kernels (replaces the reference's unbounded
+    # per-ray `while(true)`; DrawSegmentRayJob.cs:235)
+    max_march_chunks: int = 64
+    chunk_steps: int = 32
+
+    # skybox color, ARGB (DrawSegmentRayJob.cs:702 — (25, 25, 25))
+    skybox_rgb: tuple[int, int, int] = (25, 25, 25)
+
+    @property
+    def screen(self) -> tuple[int, int]:
+        return (self.width, self.height)
+
+    @property
+    def far_clip_multiplier(self) -> int:
+        # UnityManager.cs:421: REPEAT_WORLD ? 10 : 2 — we fix REPEAT_WORLD=False
+        return 2
