@@ -56,7 +56,10 @@ def load_world(path: str) -> list[WorldLOD]:
         lods = []
         for lod, (n_cols, n_runs, n_colors) in enumerate(sizes):
             def rd(count, dt):
-                return np.fromfile(f, dtype=dt, count=count)
+                arr = np.fromfile(f, dtype=dt, count=count)
+                if arr.shape[0] != count:
+                    raise ValueError(f"{path}: truncated file (lod {lod})")
+                return arr
 
             col_offset = rd(n_cols, "<i4")
             col_runs = rd(n_cols, "<i4")
