@@ -119,10 +119,11 @@ class SegmentDDA:
                 hit = self.start[1] + offset
                 hit = np.floor(hit) if self.dir[1] > 0.0 else np.ceil(hit)
                 t_last[1] = (hit - self.start[1]) / self.dir[1]
-        self.t_max = t_last + self.t_delta
-        self.intersection_distances = f2(np.max(t_last), np.min(self.t_max))
-        mid = lerp(self.intersection_distances[0], self.intersection_distances[1], 0.5)
-        self.position = np.floor(self.start + mid * self.dir).astype(np.int32)
+            self.t_max = t_last + self.t_delta
+            self.intersection_distances = f2(np.max(t_last), np.min(self.t_max))
+            mid = lerp(self.intersection_distances[0],
+                       self.intersection_distances[1], 0.5)
+            self.position = np.floor(self.start + mid * self.dir).astype(np.int32)
         return True
 
     def step_cell(self, farclip) -> bool:
@@ -633,15 +634,15 @@ def reproject_oracle(
     max/min corners; the texel along the ray is screen y (segments 0/1) or x (2/3).
     """
     w, h = cam.screen
-    vp = np.asarray(vp_screen, np.float64)
+    vp = np.asarray(vp_screen, F)
     out = np.full((h, w), SKYBOX, np.uint32)
     tri = []
     for si, seg in enumerate(segs):
         if seg.ray_count <= 0:
             tri.append(None)
             continue
-        tri.append((vp, np.asarray(seg.max_screen, np.float64),
-                    np.asarray(seg.min_screen, np.float64)))
+        tri.append((vp, np.asarray(seg.max_screen, F),
+                    np.asarray(seg.min_screen, F)))
 
     def bary(p, a, b, c):
         v0 = b - a
@@ -656,7 +657,7 @@ def reproject_oracle(
 
     for py in range(h):
         for px in range(w):
-            p = np.array([px + 0.5, py + 0.5])
+            p = np.array([px + 0.5, py + 0.5], F)
             best = None
             best_score = -np.inf
             for si in range(4):

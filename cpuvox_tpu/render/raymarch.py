@@ -1,0 +1,733 @@
+"""Vectorized phase-1 ray march (pure JAX, the XLA reference path).
+
+Semantics are the oracle's (render/oracle.py — itself a transliteration of
+DrawSegmentRayJob.cs:195-620), re-expressed data-parallel over all ray columns of all
+segments at once, per SURVEY.md §7:
+
+- the per-ray ``while(true)`` march becomes a chunked ``lax.while_loop``: each
+  iteration rolls the (content-independent!) DDA forward ``CHUNK`` cells per ray,
+  bulk-gathers the visited columns' meta + runs from the flat DeviceWorld arrays,
+  then rasterizes the chunk with masked lane predication;
+- ``return``/``break`` early-outs become per-ray ``alive`` masks; the frame finishes
+  when every ray is dead or ``max_chunks`` is exhausted;
+- the ``seenPixelCache`` byte array (:208) is the raybuffer row itself: the raybuffer
+  holds int32 color *indices* into DeviceWorld.colors (skybox = 0, unwritten = -1);
+  actual ARGB values are resolved by one gather at the end of the frame;
+- ``WriteSkybox`` on exit (:699-716) is deferred: dead rays simply stop writing, and
+  the final resolve fills unwritten pixels inside the segment's pixel range with
+  skybox — byte-identical output because written pixels are never overwritten.
+
+The camera-pitch iteration direction (DrawSegmentRayJob.cs:170-192's two kernel
+specializations) is a static argument -> two jitted variants.
+
+This path is correctness-first (full-width masked updates per run); the Pallas kernel
+in cpuvox_tpu.ops is the performance path and is diffed against this.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpuvox_tpu.render import segments as sg
+from cpuvox_tpu.render.camera import Camera, CameraData
+from cpuvox_tpu.render.device import DeviceWorld
+
+F = np.float32
+BIG = np.int32(1 << 24)
+
+
+class RayStatic(NamedTuple):
+    """Per-ray constants (host-built)."""
+
+    dirs: jnp.ndarray  # (R, 2) f32 normalized XZ dir
+    plane_bottom: jnp.ndarray  # (R, 3) f32 projected column base (pixel, nearval, w)
+    plane_top: jnp.ndarray  # (R, 3)
+    plane_dir: jnp.ndarray  # (R, 3)
+    orig_min: jnp.ndarray  # (R,) i32 segment pixel range
+    orig_max: jnp.ndarray  # (R,) i32
+
+
+class DDAState(NamedTuple):
+    pos: jnp.ndarray  # (R, 2) i32
+    tmax: jnp.ndarray  # (R, 2) f32
+    tdelta: jnp.ndarray  # (R, 2) f32
+    stp: jnp.ndarray  # (R, 2) i32
+    ids: jnp.ndarray  # (R, 2) f32 intersection distances (last, next)
+    lod: jnp.ndarray  # (R,) i32
+
+
+class RasterState(NamedTuple):
+    raybuf: jnp.ndarray  # (R, P) i32 color indices, -1 unwritten
+    nfp_min: jnp.ndarray  # (R,) i32
+    nfp_max: jnp.ndarray  # (R,) i32
+    fb_min: jnp.ndarray  # (R,) f32 frustum bounds
+    fb_max: jnp.ndarray  # (R,) f32
+    f_active: jnp.ndarray  # (R,) bool — frustum narrowing active
+    fdir_min: jnp.ndarray  # (R,) f32
+    fdir_max: jnp.ndarray  # (R,) f32
+    alive: jnp.ndarray  # (R,) bool
+
+
+class WorldArrays(NamedTuple):
+    col_base: jnp.ndarray
+    grid_z: jnp.ndarray
+    col_offset: jnp.ndarray
+    col_runs: jnp.ndarray
+    col_color_offset: jnp.ndarray
+    col_min: jnp.ndarray
+    col_max: jnp.ndarray
+    runs: jnp.ndarray
+    colors: jnp.ndarray
+
+
+def world_arrays(dw: DeviceWorld) -> WorldArrays:
+    return WorldArrays(*(jnp.asarray(getattr(dw, f)) for f in WorldArrays._fields))
+
+
+# ------------------------------------------------------------------ host-side init
+
+
+def _np_normalize_rows(v):
+    return v / np.sqrt(np.sum(v * v, axis=1, dtype=F))[:, None]
+
+
+def init_rays(
+    cam_data: CameraData,
+    segs: list[sg.SegmentData],
+    ctxs: list[sg.SegmentContext],
+    dims: tuple[int, int, int],
+    pad_to: int = 128,
+):
+    """Build per-ray static data + initial DDA state (host numpy, float32).
+
+    Vectorizes DDASetupJob + TraceToFirstColumnJob (DrawSegmentRayJob.cs:49-143).
+    Returns (static: RayStatic, dda: DDAState, alive0: (R,), meta dict).
+    Ray order: segment 0 rays, then 1, 2, 3 (matching raybuffer row layout with
+    the topdown buffer first).
+    """
+    X, Z = dims[0], dims[2]
+    world_max_y = F(dims[1])
+    m = cam_data.world_to_screen
+    start = cam_data.position_xz.astype(F)
+
+    dirs_l, axis_l, omin_l, omax_l = [], [], [], []
+    for si, (seg, ctx) in enumerate(zip(segs, ctxs)):
+        if seg.ray_count <= 0:
+            continue
+        d = sg.ray_directions(seg)
+        dirs_l.append(d)
+        axis_l.append(np.full(d.shape[0], ctx.axis_mapped_to_y, np.int32))
+        omin_l.append(np.full(d.shape[0], ctx.next_free_pixel_min, np.int32))
+        omax_l.append(np.full(d.shape[0], ctx.next_free_pixel_max, np.int32))
+    n_rays = sum(x.shape[0] for x in dirs_l) if dirs_l else 0
+    R = max(pad_to, int(np.ceil(max(n_rays, 1) / pad_to)) * pad_to)
+
+    dirs = np.zeros((R, 2), F)
+    axis_y = np.zeros(R, np.int32)
+    orig_min = np.zeros(R, np.int32)
+    orig_max = np.full(R, -1, np.int32)  # padded rays: empty pixel range
+    if n_rays:
+        dirs[:n_rays] = np.concatenate(dirs_l)
+        axis_y[:n_rays] = np.concatenate(axis_l)
+        orig_min[:n_rays] = np.concatenate(omin_l)
+        orig_max[:n_rays] = np.concatenate(omax_l)
+    # avoid 0-direction padding rays producing NaNs anywhere
+    dirs[n_rays:] = np.array([1.0, 0.0], F)
+
+    # --- SegmentDDAData ctor (SegmentDDAData.cs:17-28)
+    pos = np.floor(start)[None, :].astype(np.int32).repeat(R, 0)
+    with np.errstate(divide="ignore"):
+        tdelta = F(1.0) / np.maximum(F(1e-7), np.abs(dirs))
+    sign_dir = np.sign(dirs).astype(F)
+    stp = sign_dir.astype(np.int32)
+    frac = start - np.floor(start)
+    tmax = (sign_dir * -frac[None, :] + sign_dir * F(0.5) + F(0.5)) * tdelta
+    ids = np.stack([(tmax - tdelta).max(1), tmax.min(1)], axis=1)
+
+    alive = np.zeros(R, bool)
+    alive[:n_rays] = True
+    lod = np.zeros(R, np.int32)
+
+    # --- TraceToFirstColumnJob (DrawSegmentRayJob.cs:95-143)
+    outside = (pos[:, 0] < 0) | (pos[:, 0] >= X) | (pos[:, 1] < 0) | (pos[:, 1] >= Z)
+    if np.any(outside & alive):
+        sel = np.nonzero(outside & alive)[0]
+        ok = _step_to_world_intersection(
+            start, dirs[sel], tdelta[sel], np.array([X, Z], F))
+        hit, n_pos, n_tmax, n_ids = ok
+        alive[sel] = hit
+        pos[sel] = n_pos
+        tmax[sel] = n_tmax
+        ids[sel] = n_ids
+        # LOD fast-forward (:123-128)
+        lod_dist = np.append(cam_data.lod_distances.astype(F), [F(np.inf)] * 2)
+        for _ in range(len(lod_dist) - 2):
+            adv = alive & outside & (ids[:, 0] >= lod_dist[lod])
+            if not np.any(adv):
+                break
+            a = np.nonzero(adv)[0]
+            vsize = (1 << lod[a]).astype(np.int32)
+            pos[a], tmax[a], tdelta[a], stp[a], ids[a] = _np_next_lod(
+                pos[a], tmax[a], tdelta[a], stp[a], dirs[a], vsize)
+            lod[a] += 1
+        # IsBeyondFarClip (:130)
+        beyond = alive & outside & (tmax.min(1) >= F(cam_data.far_clip))
+        alive &= ~beyond
+
+    # --- SetupProjectedPlaneParams (:622-651); start is the camera for all rays
+    pb4 = m @ np.array([start[0], 0.0, start[1], 1.0], F)
+    pt4 = m @ np.array([start[0], world_max_y, start[1], 1.0], F)
+    dir4 = np.concatenate([dirs[:, :1], np.zeros((R, 1), F), dirs[:, 1:2],
+                           np.zeros((R, 1), F)], axis=1)
+    pd4 = dir4 @ m.T
+    sel_xzw = np.array([0, 2, 3])
+    sel_yzw = np.array([1, 2, 3])
+    take = np.where(axis_y[:, None] == 0, sel_xzw[None, :], sel_yzw[None, :])
+    plane_bottom = pb4[take]
+    plane_top = pt4[take]
+    plane_dir = np.take_along_axis(pd4, take, axis=1)
+
+    static = RayStatic(
+        dirs=jnp.asarray(dirs), plane_bottom=jnp.asarray(plane_bottom),
+        plane_top=jnp.asarray(plane_top), plane_dir=jnp.asarray(plane_dir),
+        orig_min=jnp.asarray(orig_min), orig_max=jnp.asarray(orig_max))
+    dda = DDAState(pos=jnp.asarray(pos), tmax=jnp.asarray(tmax),
+                   tdelta=jnp.asarray(tdelta), stp=jnp.asarray(stp),
+                   ids=jnp.asarray(ids), lod=jnp.asarray(lod))
+    return static, dda, jnp.asarray(alive), {"n_rays": n_rays, "R": R}
+
+
+def _np_next_lod(pos, tmax, tdelta, stp, dirs, vsize):
+    """Vectorized SegmentDDAData.NextLOD (numpy, used at init)."""
+    rem = pos & (2 * vsize - 1)[:, None]
+    tmax_prev = tmax - tdelta
+    low = rem < vsize[:, None]
+    inc = (dirs >= 0) == low
+    tmax = np.where(inc, tmax + tdelta, tmax)
+    tmax_prev = np.where(~inc, tmax_prev - tdelta, tmax_prev)
+    ids = np.stack([tmax_prev.max(1), tmax.min(1)], axis=1)
+    return pos - rem, tmax, tdelta * F(2.0), stp * 2, ids
+
+
+def _step_to_world_intersection(start, dirs, tdelta, dims_f):
+    """Vectorized SegmentDDAData.StepToWorldIntersection (:75-130)."""
+    n = dirs.shape[0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tmin = np.full((n, 2), -np.inf, F)
+        tmax_ = np.full((n, 2), np.inf, F)
+        for ax in range(2):
+            nz = dirs[:, ax] != 0.0
+            t1 = -start[ax] / dirs[:, ax]
+            t2 = (dims_f[ax] - start[ax]) / dirs[:, ax]
+            tmin[nz, ax] = np.minimum(t1, t2)[nz]
+            tmax_[nz, ax] = np.maximum(t1, t2)[nz]
+        tmint = tmin.max(1)
+        tmaxt = tmax_.min(1)
+        hit = ~((tmaxt < tmint) | (tmint <= 0.0))
+
+        t_last = np.zeros((n, 2), F)
+        use_x = (tmin[:, 0] < tmin[:, 1]) & (tmin[:, 0] != -np.inf)
+        # axis with the later entry keeps its plain tmin; the other axis snaps to the
+        # last grid boundary before the entry point
+        for ax, other in ((0, 1), (1, 0)):
+            m = use_x if ax == 0 else ~use_x
+            off = tmint * dirs[:, ax]
+            hitpos = start[ax] + off
+            hitpos = np.where(dirs[:, ax] > 0, np.floor(hitpos), np.ceil(hitpos))
+            t_last[m, ax] = ((hitpos - start[ax]) / dirs[:, ax])[m]
+            t_last[m, other] = tmin[m, other]
+        new_tmax = t_last + tdelta
+        ids = np.stack([t_last.max(1), new_tmax.min(1)], axis=1)
+        mid = ids[:, 0] + (ids[:, 1] - ids[:, 0]) * F(0.5)
+        pos = np.floor(start[None, :] + mid[:, None] * dirs).astype(np.int32)
+    return hit, pos, new_tmax, ids
+
+
+# ------------------------------------------------------------------ device march
+
+
+def _dda_step(dda: DDAState, far_clip):
+    """SegmentDDAData.Step (:135-150), batched."""
+    x_first = dda.tmax[:, 0] < dda.tmax[:, 1]
+    crossed = jnp.where(x_first, dda.tmax[:, 0], dda.tmax[:, 1])
+    bump = jnp.stack([x_first, ~x_first], axis=1)
+    tmax = dda.tmax + jnp.where(bump, dda.tdelta, 0.0)
+    pos = dda.pos + jnp.where(bump, dda.stp, 0)
+    ids = jnp.stack([crossed, tmax.min(1)], axis=1)
+    hit_far = crossed >= far_clip
+    return dda._replace(pos=pos, tmax=tmax, ids=ids), hit_far
+
+
+def _dda_next_lod(dda: DDAState, dirs):
+    """SegmentDDAData.NextLOD (:31-73), batched."""
+    vsize = (1 << dda.lod).astype(jnp.int32)
+    rem = dda.pos & (2 * vsize - 1)[:, None]
+    tmax_prev = dda.tmax - dda.tdelta
+    low = rem < vsize[:, None]
+    inc = (dirs >= 0) == low
+    tmax = jnp.where(inc, dda.tmax + dda.tdelta, dda.tmax)
+    tmax_prev = jnp.where(~inc, tmax_prev - dda.tdelta, tmax_prev)
+    ids = jnp.stack([tmax_prev.max(1), tmax.min(1)], axis=1)
+    return dda._replace(pos=dda.pos - rem, tmax=tmax, tdelta=dda.tdelta * 2.0,
+                        stp=dda.stp * 2, ids=ids, lod=dda.lod + 1)
+
+
+def _roll_chunk(dda: DDAState, alive, dirs, lod_distances, far_clip, dims, chunk):
+    """Advance every ray CHUNK cells, recording the visit list.
+
+    Content-independent: mirrors the loop structure of ExecuteRay:235-245,613-615
+    (lod switch -> visit cell -> step) plus the out-of-world termination
+    (World.GetVoxelColumn == -1, :247-250).
+    """
+    X, Z = dims[0], dims[2]
+
+    def body(carry, _):
+        dda, alive = carry
+        ldist = lod_distances[jnp.clip(dda.lod, 0, lod_distances.shape[0] - 1)]
+        switch = alive & (dda.ids[:, 0] >= ldist)
+        nxt = _dda_next_lod(dda, dirs)
+        dda = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(
+                switch.reshape((-1,) + (1,) * (a.ndim - 1)), b, a), dda, nxt)
+        in_bounds = ((dda.pos[:, 0] >= 0) & (dda.pos[:, 0] < X)
+                     & (dda.pos[:, 1] >= 0) & (dda.pos[:, 1] < Z))
+        valid = alive & in_bounds
+        alive = valid
+        visit = (dda.pos, dda.ids, dda.lod, valid)
+        stepped, hit_far = _dda_step(dda, far_clip)
+        dda = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(
+                alive.reshape((-1,) + (1,) * (a.ndim - 1)), b, a), dda, stepped)
+        alive = alive & ~hit_far
+        return (dda, alive), visit
+
+    (dda, alive), visits = jax.lax.scan(body, (dda, alive), None, length=chunk)
+    return dda, alive, visits
+
+
+def _next_unwritten_geq(seen, c):
+    """first y >= c with seen[y] False; (R, P) x (R,) -> (R,)."""
+    P = seen.shape[1]
+    pix = jnp.arange(P, dtype=jnp.int32)[None, :]
+    cand = jnp.where((~seen) & (pix >= c[:, None]), pix, BIG)
+    return cand.min(axis=1)
+
+
+def _prev_unwritten_leq(seen, c):
+    pix = jnp.arange(seen.shape[1], dtype=jnp.int32)[None, :]
+    cand = jnp.where((~seen) & (pix <= c[:, None]), pix, -BIG)
+    return cand.max(axis=1)
+
+
+def _clip_world_bounds(p_min, p_max, fmin, fmax):
+    """Batched CameraData.GetWorldBoundsClippingCamSpace (CameraData.cs:51-121).
+
+    p_min/p_max: (R, 3); fmin/fmax: (R,).  Returns (clipped, min_lerp, max_lerp).
+    """
+    one = jnp.float32(1.0)
+
+    def clip_pair(frustum):
+        finv = one / frustum
+        c0 = p_max[:, 0] * finv - p_max[:, 2]  # cross((1, finv), (x, z))
+        c1 = p_min[:, 0] * finv - p_min[:, 2]
+        return one - (c0 / (c0 - c1)), c1 / (c1 - c0)
+
+    min_at_fmax, max_at_fmax = clip_pair(fmax)
+    min_at_fmin, max_at_fmin = clip_pair(fmin)
+
+    amin = p_min[:, 0] > p_min[:, 2] * fmax  # min endpoint above the max frustum
+    amax = p_max[:, 0] > p_max[:, 2] * fmax
+    bmin = p_min[:, 0] < p_min[:, 2] * fmin  # below the min frustum
+    bmax = p_max[:, 0] < p_max[:, 2] * fmin
+
+    clipped = (amin & amax) | (~amin & ~amax & bmin & bmax)
+
+    min_lerp = jnp.where(
+        amin, min_at_fmax,
+        jnp.where(amax, jnp.where(bmin, min_at_fmin, 0.0),
+                  jnp.where(bmin & ~bmax, min_at_fmin, 0.0)))
+    max_lerp = jnp.where(
+        amin, jnp.where(bmax, max_at_fmin, 1.0),
+        jnp.where(amax, max_at_fmax,
+                  jnp.where(~bmin & bmax, max_at_fmin, 1.0)))
+    return clipped, min_lerp, max_lerp
+
+
+def _near_clip_line(a, b, u_a=None, u_b=None):
+    """Batched CameraData.ClipHomogeneousCameraSpaceLine (:124-157)."""
+    a_behind = a[:, 1] <= 0.0
+    b_behind = b[:, 1] <= 0.0
+    visible = ~(a_behind & b_behind)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        v_a = (b[:, 1] / (b[:, 1] - a[:, 1]))[:, None]
+        v_b = (a[:, 1] / (a[:, 1] - b[:, 1]))[:, None]
+    clip_a = a_behind & ~b_behind
+    clip_b = b_behind & ~a_behind
+    a2 = jnp.where(clip_a[:, None], b + (a - b) * v_a, a)
+    b2 = jnp.where(clip_b[:, None], a + (b - a) * v_b, b)
+    if u_a is None:
+        return visible, a2, b2
+    u_a2 = jnp.where(clip_a, u_b + (u_a - u_b) * v_a[:, 0], u_a)
+    u_b2 = jnp.where(clip_b, u_a + (u_b - u_a) * v_b[:, 0], u_b)
+    return visible, a2, b2, u_a2, u_b2
+
+
+def _reduce_pixel_horizon(rs: RasterState, rb_min, rb_max, mask):
+    """Batched ReducePixelHorizon (DrawSegmentRayJob.cs:660-697).
+
+    Returns (rs', rb_min', rb_max') with nfp/frustum bounds narrowed where mask.
+    """
+    seen = rs.raybuf >= 0
+    c1 = mask & (rb_min <= rs.nfp_min)
+    rb_min2 = jnp.where(c1, rs.nfp_min, rb_min)
+    inner1 = c1 & (rb_max >= rs.nfp_min)
+    new_min = _next_unwritten_geq(seen, rb_max + 1)
+    nfp_min = jnp.where(inner1, new_min, rs.nfp_min)
+    fb_min = jnp.where(inner1, new_min.astype(jnp.float32) - 0.501, rs.fb_min)
+
+    c2 = mask & (rb_max >= rs.nfp_max)
+    rb_max2 = jnp.where(c2, rs.nfp_max, rb_max)
+    inner2 = c2 & (rb_min2 <= rs.nfp_max)
+    new_max = _prev_unwritten_leq(seen, rb_min2 - 1)
+    nfp_max = jnp.where(inner2, new_max, rs.nfp_max)
+    fb_max = jnp.where(inner2, new_max.astype(jnp.float32) + 0.501, rs.fb_max)
+    return rs._replace(nfp_min=nfp_min, nfp_max=nfp_max, fb_min=fb_min,
+                       fb_max=fb_max), rb_min2, rb_max2
+
+
+def _write_span(rs: RasterState, rb_min, rb_max, values, mask):
+    """Masked pixel-span write: only unwritten pixels in [rb_min, rb_max], only rows
+    in `mask`.  Resets frustum narrowing on rows that wrote anything (:522,598).
+    Returns (rs', killed) where killed = rows whose free range closed (:535-539)."""
+    P = rs.raybuf.shape[1]
+    pix = jnp.arange(P, dtype=jnp.int32)[None, :]
+    in_span = (pix >= rb_min[:, None]) & (pix <= rb_max[:, None]) & mask[:, None]
+    do_write = in_span & (rs.raybuf < 0)
+    raybuf = jnp.where(do_write, values, rs.raybuf)
+    wrote = do_write.any(axis=1)
+    f_active = rs.f_active & ~wrote
+    killed = mask & (rs.nfp_min > rs.nfp_max)
+    return rs._replace(raybuf=raybuf, f_active=f_active), killed
+
+
+def _rasterize_step(rs: RasterState, inputs, wa: WorldArrays, static: RayStatic,
+                    consts, iteration_direction: int, max_runs: int):
+    """Process one visited cell for every ray (the body of ExecuteRay:245-611)."""
+    pos, ids, lod, valid, n_runs, run_off, color_off, cmin, cmax, runs_k = inputs
+    world_max_y = consts["world_max_y"]
+    cam_y = consts["cam_y"]
+    cam_y_norm = consts["cam_y_norm"]
+
+    alive = rs.alive & valid
+    vscale_f = (1 << lod).astype(jnp.float32)
+
+    # ---- frustum-vs-column cull (:258-281); empty columns skip it entirely
+    # (the columnRuns == 0 step/continue at :251-256 comes first)
+    nonempty = n_runs > 0
+    dist_top = jnp.where(rs.fdir_max > 0.0, ids[:, 1], ids[:, 0])
+    dist_bot = jnp.where(rs.fdir_min < 0.0, ids[:, 1], ids[:, 0])
+    new_max = cam_y + rs.fdir_max * dist_top
+    new_min = cam_y + rs.fdir_min * dist_bot
+    f_act = rs.f_active
+    cull_world = alive & nonempty & f_act & ((new_min > world_max_y)
+                                             | (new_max < 0.0))
+    alive = alive & ~cull_world
+    skip_col = f_act & ((cmin.astype(jnp.float32) > new_max)
+                        | (cmax.astype(jnp.float32) < new_min))
+    wb_min = jnp.where(f_act, new_min, 0.0)
+    wb_max = jnp.where(f_act, new_max, world_max_y)
+    process = alive & ~skip_col & (n_runs > 0)
+
+    # ---- project the world column at both intersections (:289-293)
+    cs_min_last = static.plane_bottom + static.plane_dir * ids[:, 0:1]
+    cs_min_next = static.plane_bottom + static.plane_dir * ids[:, 1:2]
+    cs_max_last = static.plane_top + static.plane_dir * ids[:, 0:1]
+    cs_max_next = static.plane_top + static.plane_dir * ids[:, 1:2]
+
+    # ---- writable-frustum re-clip when dirty (:295-422)
+    do_clip = process & (ids[:, 0] > 2.0) & ~f_act
+    cl_clipped, cl_min, cl_max = _clip_world_bounds(
+        cs_min_last, cs_max_last, rs.fb_min, rs.fb_max)
+    cn_clipped, cn_min, cn_max = _clip_world_bounds(
+        cs_min_next, cs_max_next, rs.fb_min, rs.fb_max)
+
+    kill_clip = do_clip & cl_clipped & cn_clipped
+    alive = alive & ~kill_clip
+    process = process & ~kill_clip
+    do_clip = do_clip & ~kill_clip
+
+    # three cases: last clipped / next clipped / neither (:321-390)
+    case_l = cl_clipped  # (and not cn_clipped, else killed above)
+    case_n = ~cl_clipped & cn_clipped
+
+    sel_min_lerp = jnp.where(case_l, cn_min, jnp.where(case_n, cl_min,
+                             jnp.minimum(cl_min, cn_min)))
+    sel_max_lerp = jnp.where(case_l, cn_max, jnp.where(case_n, cl_max,
+                             jnp.maximum(cl_max, cn_max)))
+    wbc_min = world_max_y * sel_min_lerp  # lerp(0, maxY, t)
+    wbc_max = world_max_y * sel_max_lerp
+    # distances used for the frustum direction slopes
+    dist_for_min = jnp.where(case_l, ids[:, 1],
+                             jnp.where(case_n, ids[:, 0],
+                                       jnp.where(cl_min < cn_min, ids[:, 0],
+                                                 ids[:, 1])))
+    dist_for_max = jnp.where(case_l, ids[:, 1],
+                             jnp.where(case_n, ids[:, 0],
+                                       jnp.where(cl_max > cn_max, ids[:, 0],
+                                                 ids[:, 1])))
+    fdir_min_new = (wbc_min - cam_y) / dist_for_min
+    fdir_max_new = (wbc_max - cam_y) / dist_for_max
+
+    def screen_x(base_min, base_max, t):
+        p = base_min + (base_max - base_min) * t[:, None]
+        return p[:, 0] / p[:, 2]
+
+    # screen-space clipped extent (the camSpaceClippedMin/Max dance)
+    l_min_x = screen_x(cs_min_last, cs_max_last, cl_min)
+    l_max_x = screen_x(cs_min_last, cs_max_last, cl_max)
+    n_min_x = screen_x(cs_min_next, cs_max_next, cn_min)
+    n_max_x = screen_x(cs_min_next, cs_max_next, cn_max)
+    l_lo = jnp.minimum(l_min_x, l_max_x)
+    l_hi = jnp.maximum(l_min_x, l_max_x)
+    n_lo = jnp.minimum(n_min_x, n_max_x)
+    n_hi = jnp.maximum(n_min_x, n_max_x)
+    cs_clip_min = jnp.where(case_l, n_lo, jnp.where(case_n, l_lo,
+                            jnp.minimum(l_lo, n_lo)))
+    cs_clip_max = jnp.where(case_l, n_hi, jnp.where(case_n, l_hi,
+                            jnp.maximum(l_hi, n_hi)))
+
+    wb_min = jnp.where(do_clip, jnp.floor(wbc_min), wb_min)
+    wb_max = jnp.where(do_clip, jnp.ceil(wbc_max), wb_max)
+    fdir_min_st = jnp.where(do_clip, fdir_min_new, rs.fdir_min)
+    fdir_max_st = jnp.where(do_clip, fdir_max_new, rs.fdir_max)
+    f_active_new = rs.f_active | do_clip
+
+    writable_min = jnp.floor(cs_clip_min).astype(jnp.int32)
+    writable_max = jnp.ceil(cs_clip_max).astype(jnp.int32)
+    kill_miss = do_clip & ((writable_max < rs.nfp_min) | (writable_min > rs.nfp_max))
+    alive = alive & ~kill_miss
+    process = process & ~kill_miss
+    do_clip = do_clip & ~kill_miss
+
+    seen = rs.raybuf >= 0
+    adv_min = do_clip & (writable_min > rs.nfp_min)
+    nfp_min2 = jnp.where(adv_min, _next_unwritten_geq(seen, writable_min), rs.nfp_min)
+    adv_max = do_clip & (writable_max < rs.nfp_max)
+    nfp_max2 = jnp.where(adv_max, _prev_unwritten_leq(seen, writable_max), rs.nfp_max)
+    kill_closed = do_clip & (nfp_min2 > nfp_max2)
+    alive = alive & ~kill_closed
+    process = process & ~kill_closed
+
+    rs = rs._replace(nfp_min=nfp_min2, nfp_max=nfp_max2,
+                     fdir_min=fdir_min_st, fdir_max=fdir_max_st,
+                     f_active=f_active_new, alive=alive)
+
+    # ---- RLE run iteration (:424-611)
+    if iteration_direction > 0:
+        eb0 = jnp.full_like(wb_min, world_max_y)
+        eb_min0, eb_max0 = eb0, eb0
+    else:
+        eb_min0 = jnp.zeros_like(wb_min)
+        eb_max0 = jnp.zeros_like(wb_min)
+
+    def run_body(k, carry):
+        rs, eb_min, eb_max, run_done, process = carry
+        run = runs_k[:, k] if iteration_direction > 0 else runs_k[
+            jnp.arange(runs_k.shape[0]), jnp.maximum(n_runs - 1 - k, 0)]
+        length = run & 0xFFFF
+        cidx = run >> 16
+        is_air = run < 0
+        k_valid = process & rs.alive & (k < n_runs) & ~run_done
+
+        len_scaled = (length * (1 << lod)).astype(jnp.float32)
+        if iteration_direction > 0:
+            eb_max_n = eb_min
+            eb_min_n = eb_min - len_scaled
+        else:
+            eb_min_n = eb_max
+            eb_max_n = eb_min_n + len_scaled
+        eb_min = jnp.where(k_valid, eb_min_n, eb_min)
+        eb_max = jnp.where(k_valid, eb_max_n, eb_max)
+
+        above = eb_min > wb_max
+        below = eb_max < wb_min
+        if iteration_direction > 0:
+            brk = k_valid & ~is_air & below
+        else:
+            brk = k_valid & ~is_air & above
+        run_done = run_done | brk
+        draw = k_valid & ~is_air & ~above & ~below
+
+        # lerp the projected full-world lines per run (:477-481)
+        portion_bottom = eb_min / world_max_y  # unlerp(0, maxY, eb)
+        portion_top = eb_max / world_max_y
+        cs_front_bottom = cs_min_last + (cs_max_last - cs_min_last) \
+            * portion_bottom[:, None]
+        cs_front_top = cs_min_last + (cs_max_last - cs_min_last) \
+            * portion_top[:, None]
+
+        # --- side span (:484-542)
+        u_a0 = length.astype(jnp.float32)
+        u_b0 = jnp.zeros_like(u_a0)
+        vis, fa, fb_, u_a, u_b = _near_clip_line(
+            cs_front_bottom, cs_front_top, u_a0, u_b0)
+        side = draw & vis
+        uv_a = jnp.stack([jnp.ones_like(u_a), u_a], axis=1) / fa[:, 2:3]
+        uv_b = jnp.stack([jnp.ones_like(u_b), u_b], axis=1) / fb_[:, 2:3]
+        rbf_a = fa[:, 0] / fa[:, 2]
+        rbf_b = fb_[:, 0] / fb_[:, 2]
+        flip = rbf_a > rbf_b
+        rbf_lo = jnp.where(flip, rbf_b, rbf_a)
+        rbf_hi = jnp.where(flip, rbf_a, rbf_b)
+        uv_lo = jnp.where(flip[:, None], uv_b, uv_a)
+        uv_hi = jnp.where(flip[:, None], uv_a, uv_b)
+        rb_min = jnp.round(rbf_lo).astype(jnp.int32)
+        rb_max = jnp.round(rbf_hi).astype(jnp.int32)
+        overlap = side & (rb_max >= rs.nfp_min) & (rb_min <= rs.nfp_max)
+        rs, rb_min2, rb_max2 = _reduce_pixel_horizon(rs, rb_min, rb_max, overlap)
+        # per-pixel perspective-correct color index (:519-533)
+        P = rs.raybuf.shape[1]
+        pixf = jnp.arange(P, dtype=jnp.float32)[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            l = (pixf - rbf_lo[:, None]) / (rbf_hi - rbf_lo)[:, None]
+            wu0 = uv_lo[:, 0:1] + (uv_hi[:, 0:1] - uv_lo[:, 0:1]) * l
+            wu1 = uv_lo[:, 1:2] + (uv_hi[:, 1:2] - uv_lo[:, 1:2]) * l
+            u = wu1 / wu0
+        iu = jnp.where(jnp.isnan(u), 0, jnp.floor(u).astype(jnp.int32))
+        color_local = jnp.clip(iu, 0, (length - 1)[:, None]) + cidx[:, None]
+        values = color_off[:, None] + color_local
+        rs, killed = _write_span(rs, rb_min2, rb_max2, values, overlap)
+        rs = rs._replace(alive=rs.alive & ~killed)
+
+        # --- top/bottom cap (:544-610)
+        live = draw & rs.alive
+        top_cap = portion_top < cam_y_norm
+        bot_cap = ~top_cap & (portion_bottom > cam_y_norm)
+        skip_top = top_cap & (eb_max > wb_max)
+        skip_bot = bot_cap & (eb_min < wb_min)
+        cap = live & ((top_cap & ~skip_top) | (bot_cap & ~skip_bot))
+        sec_color_idx = jnp.where(top_cap, cidx, cidx + length - 1)
+        portion_cap = jnp.where(top_cap, portion_top, portion_bottom)
+        cs_sec_a = cs_min_next + (cs_max_next - cs_min_next) * portion_cap[:, None]
+        cs_sec_b = jnp.where(top_cap[:, None], cs_front_top, cs_front_bottom)
+        vis2, sa, sb = _near_clip_line(cs_sec_a, cs_sec_b)
+        cap = cap & vis2
+        rbf2 = jnp.stack([jnp.round(sa[:, 0] / sa[:, 2]),
+                          jnp.round(sb[:, 0] / sb[:, 2])], axis=1)
+        rb2_min = jnp.minimum(rbf2[:, 0], rbf2[:, 1]).astype(jnp.int32)
+        rb2_max = jnp.maximum(rbf2[:, 0], rbf2[:, 1]).astype(jnp.int32)
+        overlap2 = cap & (rb2_max >= rs.nfp_min) & (rb2_min <= rs.nfp_max)
+        rs, rb2_min2, rb2_max2 = _reduce_pixel_horizon(rs, rb2_min, rb2_max, overlap2)
+        cap_values = (color_off + sec_color_idx)[:, None] + jnp.zeros_like(rs.raybuf)
+        rs, killed2 = _write_span(rs, rb2_min2, rb2_max2, cap_values, overlap2)
+        rs = rs._replace(alive=rs.alive & ~killed2)
+
+        return rs, eb_min, eb_max, run_done, process
+
+    run_done0 = jnp.zeros_like(process)
+    rs, *_ = jax.lax.fori_loop(
+        0, max_runs, run_body, (rs, eb_min0, eb_max0, run_done0, process))
+    return rs
+
+
+def march(
+    wa: WorldArrays,
+    static: RayStatic,
+    dda: DDAState,
+    alive0,
+    rs: RasterState,
+    lod_distances,
+    far_clip,
+    dims,
+    world_max_y,
+    cam_y,
+    iteration_direction: int,
+    chunk: int,
+    max_chunks: int,
+    max_runs: int,
+):
+    """Full phase-1 march: chunked roll + gather + rasterize until all rays die."""
+    consts = {
+        "world_max_y": jnp.float32(world_max_y),
+        "cam_y": jnp.float32(cam_y),
+        "cam_y_norm": jnp.float32(cam_y) / jnp.float32(world_max_y),
+    }
+    lod_distances = jnp.asarray(lod_distances)
+
+    def cond(carry):
+        i, dda, alive, rs = carry
+        return (i < max_chunks) & (alive & rs.alive).any()
+
+    def body(carry):
+        i, dda, alive, rs = carry
+        march_alive = alive & rs.alive
+        dda, march_alive, visits = _roll_chunk(
+            dda, march_alive, static.dirs, lod_distances, far_clip, dims, chunk)
+        v_pos, v_ids, v_lod, v_valid = visits  # (C, R, ...)
+
+        lodc = jnp.clip(v_lod, 0, 7)
+        ci = (wa.col_base[lodc]
+              + (v_pos[:, :, 0] >> v_lod) * wa.grid_z[lodc]
+              + (v_pos[:, :, 1] >> v_lod))
+        ci = jnp.where(v_valid, ci, 0)
+        n_runs = jnp.where(v_valid, wa.col_runs[ci], 0)
+        run_off = wa.col_offset[ci]
+        color_off = wa.col_color_offset[ci]
+        cmin = wa.col_min[ci]
+        cmax = wa.col_max[ci]
+        idx = jnp.clip(run_off[..., None] + jnp.arange(max_runs), 0,
+                       wa.runs.shape[0] - 1)
+        runs_k = wa.runs[idx]  # (C, R, max_runs)
+
+        def raster_scan(rs, step_in):
+            return _rasterize_step(rs, step_in, wa, static, consts,
+                                   iteration_direction, max_runs), None
+
+        rs, _ = jax.lax.scan(
+            raster_scan, rs,
+            (v_pos, v_ids, v_lod, v_valid, n_runs, run_off, color_off, cmin, cmax,
+             runs_k))
+        return i + 1, dda, march_alive, rs
+
+    init = (jnp.int32(0), dda, alive0, rs)
+    _, dda, alive, rs = jax.lax.while_loop(cond, body, init)
+    return rs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iteration_direction", "chunk", "max_chunks", "max_runs",
+                     "dims", "pixel_len"))
+def march_jit(wa, static, dda, alive0, lod_distances, far_clip, world_max_y, cam_y,
+              iteration_direction, chunk, max_chunks, max_runs, dims, pixel_len):
+    R = static.dirs.shape[0]
+    rs = RasterState(
+        raybuf=jnp.full((R, pixel_len), -1, jnp.int32),
+        nfp_min=static.orig_min,
+        nfp_max=static.orig_max,
+        fb_min=static.orig_min.astype(jnp.float32) - 0.501,
+        fb_max=static.orig_max.astype(jnp.float32) + 0.501,
+        f_active=jnp.zeros(R, bool),
+        fdir_min=jnp.zeros(R, jnp.float32),
+        fdir_max=jnp.zeros(R, jnp.float32),
+        alive=jnp.ones(R, bool),
+    )
+    rs = march(wa, static, dda, alive0, rs, lod_distances, far_clip, dims,
+               world_max_y, cam_y, iteration_direction, chunk, max_chunks, max_runs)
+    # deferred WriteSkybox (:699-716): unwritten pixels inside the segment range -> 0
+    P = pixel_len
+    pix = jnp.arange(P, dtype=jnp.int32)[None, :]
+    in_range = (pix >= static.orig_min[:, None]) & (pix <= static.orig_max[:, None])
+    raybuf = jnp.where((rs.raybuf < 0) & in_range, 0, rs.raybuf)
+    return raybuf
+
+
+def resolve_colors(raybuf_idx, colors, debug_magenta=np.uint32(0xFFFF1493)):
+    """Color-index raybuffer -> ARGB uint32; unwritten (-1) -> debug magenta."""
+    vals = colors[jnp.clip(raybuf_idx, 0, colors.shape[0] - 1)]
+    return jnp.where(raybuf_idx < 0, jnp.uint32(debug_magenta), vals)

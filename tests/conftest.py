@@ -1,15 +1,22 @@
 """Test configuration.
 
-Tests run on the JAX CPU backend with 8 virtual devices so multi-chip sharding paths can
-be validated without TPU hardware (SURVEY.md §4).  Environment must be set before the
-first `import jax` anywhere in the test process.
+Tests run on the JAX CPU backend with 8 virtual devices so multi-chip sharding paths
+can be validated without TPU hardware (SURVEY.md §4).
+
+Note: this environment's sitecustomize registers the 'axon' TPU PJRT plugin and
+overrides jax_platforms programmatically, so setting JAX_PLATFORMS=cpu in the
+environment is NOT enough — we must update jax.config after import, before any
+backend is initialized.
 """
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
