@@ -1,0 +1,97 @@
+"""Benchmark entry point (run by the driver on real TPU hardware).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Baseline: the reference's north-star 60 fps at 1080p on a 36.9M-voxel 2048^3 world
+(BASELINE.md; reference README.md:5 reports 10-60 fps on a 2013 quad-core CPU).
+
+Env knobs:
+  BENCH_SCENE   terrain2048 (default) | terrain1024 | mill256
+  BENCH_WH      "1920x1080" (default)
+  BENCH_FRAMES  frames timed along the flythrough (default 12)
+"""
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_world(scene: str):
+    import numpy as np
+
+    from cpuvox_tpu.world.save import load_world, save_world
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    cache = os.path.join(cache_dir, f"{scene}.world")
+    if os.path.exists(cache):
+        try:
+            t0 = time.time()
+            lods = load_world(cache)
+            log(f"loaded cached {scene} in {time.time() - t0:.1f}s")
+            return lods
+        except Exception as e:
+            log(f"cache load failed ({e}); regenerating")
+
+    t0 = time.time()
+    if scene == "mill256":
+        from cpuvox_tpu.assets.pipeline import convert_obj_to_world
+
+        lods = convert_obj_to_world("/root/reference/datasets/mill.obj",
+                                    max_dimension=256, lod_levels=6)
+    else:
+        from cpuvox_tpu.models.procedural import heightmap_world
+
+        size = 2048 if scene == "terrain2048" else 1024
+        # shell_depth 9 at 2048^2 columns ~= the reference's 36.9M-voxel headline
+        lods = heightmap_world(dims=(size, max(256, size // 8), size), seed=1234,
+                               shell_depth=9, lod_levels=6)
+    log(f"built {scene} ({lods[0].voxel_count} voxels) in {time.time() - t0:.1f}s")
+    try:
+        save_world(cache, lods)
+    except Exception as e:
+        log(f"cache save failed: {e}")
+    return lods
+
+
+def main():
+    scene = os.environ.get("BENCH_SCENE", "terrain2048")
+    wh = os.environ.get("BENCH_WH", "1920x1080")
+    n_frames = int(os.environ.get("BENCH_FRAMES", "12"))
+    w, h = (int(x) for x in wh.split("x"))
+
+    import jax
+
+    log(f"devices: {jax.devices()}")
+
+    from cpuvox_tpu.bench.harness import run_flythrough
+    from cpuvox_tpu.config import RenderConfig
+    from cpuvox_tpu.render.frame import Renderer
+
+    lods = build_world(scene)
+    cfg = RenderConfig(width=w, height=h, chunk_steps=32, max_march_chunks=192)
+    t0 = time.time()
+    renderer = Renderer.create(lods, cfg)
+    log(f"device world uploaded in {time.time() - t0:.1f}s "
+        f"(max_runs={renderer.device_world.max_runs})")
+
+    metrics = run_flythrough(renderer, n_frames=n_frames, log=log)
+    result = {
+        "metric": f"fps_{scene}_{w}x{h}",
+        "value": round(metrics["fps"], 3),
+        "unit": "fps",
+        "vs_baseline": round(metrics["fps"] / 60.0, 4),
+        "frame_ms_p50": round(metrics["frame_ms_p50"], 1),
+        "ray_columns_per_sec": round(metrics["ray_columns_per_sec"]),
+        "world_voxels": metrics["world_voxels"],
+        "n_frames": metrics["n_frames"],
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,50 @@
+"""Benchmark harness: deterministic flythrough, FPS + ray-columns/sec metrics
+(the reference's benchmark mode, UnityManager.cs:79-97,408-410)."""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from cpuvox_tpu.render.frame import Renderer
+
+from .path import BENCH_CLIP_LENGTH, benchmark_camera
+
+
+def run_flythrough(renderer: Renderer, n_frames: int = 24, warmup: int = 1,
+                   log=lambda *a: print(*a, file=sys.stderr)):
+    """Render n_frames evenly spaced along the benchmark path; returns metrics."""
+    dims = renderer.device_world.dims
+    w, h = renderer.config.width, renderer.config.height
+    ts = np.linspace(0.0, BENCH_CLIP_LENGTH, n_frames)
+
+    # warmup / compile (both iteration directions appear along the path)
+    for t in (0.0, BENCH_CLIP_LENGTH * 0.6):
+        t0 = time.perf_counter()
+        renderer.render(benchmark_camera(t, dims, (w, h)))
+        log(f"warmup t={t:.2f}: {time.perf_counter() - t0:.1f}s (incl compile)")
+
+    frame_times = []
+    ray_columns = 0
+    t_start = time.perf_counter()
+    for t in ts:
+        cam = benchmark_camera(float(t), dims, (w, h))
+        f0 = time.perf_counter()
+        screen = renderer.render(cam)
+        frame_times.append(time.perf_counter() - f0)
+        ray_columns += 3 * (w + h)  # worst-case padded ray count actually marched
+    total = time.perf_counter() - t_start
+
+    fps = n_frames / total
+    return {
+        "fps": fps,
+        "frame_ms_mean": float(np.mean(frame_times)) * 1e3,
+        "frame_ms_p50": float(np.median(frame_times)) * 1e3,
+        "frame_ms_max": float(np.max(frame_times)) * 1e3,
+        "ray_columns_per_sec": ray_columns / total,
+        "n_frames": n_frames,
+        "resolution": [w, h],
+        "world_dims": list(dims),
+        "world_voxels": int(renderer.device_world.colors.shape[0] - 1),
+    }

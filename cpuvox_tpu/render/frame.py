@@ -63,7 +63,11 @@ class Renderer:
         ctxs = sg.build_segment_contexts(cam, segs, vp_screen)
 
         dims = self.device_world.dims
-        static, dda, alive0, meta = raymarch.init_rays(cam_data, segs, ctxs, dims)
+        # fixed worst-case ray-count padding (RenderManager.cs:34-38 buffer sizing):
+        # one jit signature for every camera pose
+        r_max = ((3 * (cfg.width + cfg.height) + 127) // 128) * 128
+        static, dda, alive0, meta = raymarch.init_rays(
+            cam_data, segs, ctxs, dims, fixed_size=r_max)
 
         pixel_len = max(cfg.width, cfg.height)
         lod_distances = np.append(cam_data.lod_distances.astype(F),

@@ -102,6 +102,7 @@ def init_rays(
     ctxs: list[sg.SegmentContext],
     dims: tuple[int, int, int],
     pad_to: int = 128,
+    fixed_size: int | None = None,
 ):
     """Build per-ray static data + initial DDA state (host numpy, float32).
 
@@ -126,6 +127,10 @@ def init_rays(
         omax_l.append(np.full(d.shape[0], ctx.next_free_pixel_max, np.int32))
     n_rays = sum(x.shape[0] for x in dirs_l) if dirs_l else 0
     R = max(pad_to, int(np.ceil(max(n_rays, 1) / pad_to)) * pad_to)
+    if fixed_size is not None:
+        if n_rays > fixed_size:
+            raise ValueError(f"{n_rays} rays exceed fixed_size={fixed_size}")
+        R = fixed_size  # one jit signature across cameras (no per-frame recompiles)
 
     dirs = np.zeros((R, 2), F)
     axis_y = np.zeros(R, np.int32)
@@ -652,10 +657,13 @@ def march(
     max_runs: int,
 ):
     """Full phase-1 march: chunked roll + gather + rasterize until all rays die."""
+    # cam_y may be scalar (single camera) or per-ray (batched multi-camera mode,
+    # where rays of several cameras are concatenated into one march)
+    cam_y = jnp.asarray(cam_y, jnp.float32)
     consts = {
         "world_max_y": jnp.float32(world_max_y),
-        "cam_y": jnp.float32(cam_y),
-        "cam_y_norm": jnp.float32(cam_y) / jnp.float32(world_max_y),
+        "cam_y": cam_y,
+        "cam_y_norm": cam_y / jnp.float32(world_max_y),
     }
     lod_distances = jnp.asarray(lod_distances)
 
@@ -699,12 +707,9 @@ def march(
     return rs
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("iteration_direction", "chunk", "max_chunks", "max_runs",
-                     "dims", "pixel_len"))
-def march_jit(wa, static, dda, alive0, lod_distances, far_clip, world_max_y, cam_y,
-              iteration_direction, chunk, max_chunks, max_runs, dims, pixel_len):
+def phase1(wa, static, dda, alive0, lod_distances, far_clip, world_max_y, cam_y,
+           iteration_direction, chunk, max_chunks, max_runs, dims, pixel_len):
+    """Unjitted full phase 1 (march + deferred skybox fill); jit via march_jit."""
     R = static.dirs.shape[0]
     rs = RasterState(
         raybuf=jnp.full((R, pixel_len), -1, jnp.int32),
@@ -725,6 +730,12 @@ def march_jit(wa, static, dda, alive0, lod_distances, far_clip, world_max_y, cam
     in_range = (pix >= static.orig_min[:, None]) & (pix <= static.orig_max[:, None])
     raybuf = jnp.where((rs.raybuf < 0) & in_range, 0, rs.raybuf)
     return raybuf
+
+
+march_jit = jax.jit(
+    phase1,
+    static_argnames=("iteration_direction", "chunk", "max_chunks", "max_runs",
+                     "dims", "pixel_len"))
 
 
 def resolve_colors(raybuf_idx, colors, debug_magenta=np.uint32(0xFFFF1493)):

@@ -1,0 +1,47 @@
+"""Benchmark path + harness tests (tiny config, CPU)."""
+import numpy as np
+
+from cpuvox_tpu.bench.harness import run_flythrough
+from cpuvox_tpu.bench.path import BENCH_CLIP_LENGTH, benchmark_camera
+from cpuvox_tpu.config import RenderConfig
+from cpuvox_tpu.models.procedural import heightmap_world
+from cpuvox_tpu.render.frame import Renderer
+
+
+class TestPath:
+    def test_endpoints(self):
+        dims = (64, 32, 64)
+        c0 = benchmark_camera(0.0, dims, (64, 48))
+        np.testing.assert_allclose(c0.position, (-6.4, 16.0, -6.4), atol=1e-4)
+        assert c0.yaw_deg == 45.0
+        c1 = benchmark_camera(BENCH_CLIP_LENGTH, dims, (64, 48))
+        assert c1.pitch_deg == 85.0
+
+    def test_continuity(self):
+        dims = (64, 32, 64)
+        prev = None
+        for t in np.linspace(0, BENCH_CLIP_LENGTH, 50):
+            c = benchmark_camera(float(t), dims, (64, 48))
+            p = np.asarray(c.position)
+            if prev is not None:
+                assert np.linalg.norm(p - prev) < 12.0  # no teleports
+            prev = p
+
+    def test_out_of_range_clamps(self):
+        dims = (64, 32, 64)
+        a = benchmark_camera(-1.0, dims, (64, 48))
+        b = benchmark_camera(0.0, dims, (64, 48))
+        assert a.position == b.position
+
+
+class TestHarness:
+    def test_flythrough_runs(self):
+        lods = heightmap_world(dims=(32, 16, 32), seed=3, shell_depth=3,
+                               lod_levels=6)
+        cfg = RenderConfig(width=64, height=48, chunk_steps=8, max_march_chunks=32)
+        r = Renderer.create(lods, cfg)
+        m = run_flythrough(r, n_frames=3, log=lambda *a: None)
+        assert m["fps"] > 0
+        assert m["n_frames"] == 3
+        assert m["world_voxels"] == lods[0].voxel_count + sum(
+            w.voxel_count for w in lods[1:])
