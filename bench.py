@@ -66,6 +66,9 @@ def main():
 
     import jax
 
+    from cpuvox_tpu.utils.jaxcache import enable_persistent_cache
+
+    log(f"compile cache: {enable_persistent_cache()}")
     log(f"devices: {jax.devices()}")
 
     from cpuvox_tpu.bench.harness import run_flythrough

@@ -34,6 +34,14 @@ class RenderConfig:
     # skybox color, ARGB (DrawSegmentRayJob.cs:702 — (25, 25, 25))
     skybox_rgb: tuple[int, int, int] = (25, 25, 25)
 
+    # phase-1 backend: "pallas" (TPU kernel, the fast path) or "xla" (the
+    # full-width masked reference implementation)
+    backend: str = "pallas"
+    # ray groups of 128 lanes per kernel block (VMEM budget vs divergence knob)
+    block_groups: int = 4
+    # run Pallas in interpreter mode (CPU tests)
+    pallas_interpret: bool = False
+
     @property
     def screen(self) -> tuple[int, int]:
         return (self.width, self.height)

@@ -1,0 +1,595 @@
+"""Pallas TPU kernel for the phase-1 chunk rasterizer.
+
+This is the performance path for the hot loop (the reference's Burst ExecuteRay,
+DrawSegmentRayJob.cs:195-620; SURVEY.md §7 step 4).  Semantics are identical to the
+XLA reference implementation in render/raymarch.py (which is bit-equal to the scalar
+oracle); this kernel re-expresses the chunk rasterization with TPU-native layout:
+
+- rays live on VPU *lanes*: a grid block owns BLOCK_GROUPS x 128 rays, every piece of
+  per-ray state is a (BLOCK_GROUPS, 128) register array;
+- each ray's pixel column lives along *sublanes*: the raybuffer block is
+  (BLOCK_GROUPS, P, 128) int32 color indices resident in VMEM for the whole chunk, so
+  a pixel-span write touches only ceil(span/8) (8, 128) tiles instead of a full
+  (rays, P) masked update;
+- the written-pixel frontier scans (the reference's seenPixelCache while-loops,
+  DrawSegmentRayJob.cs:407-415,678-694) are bounded `lax.while_loop`s over 8-row
+  tiles that terminate as soon as every lane found its frontier — exact semantics,
+  near-constant cost;
+- early-outs happen at three levels: dead lanes are masked, the per-cell run loop is
+  a while-loop that stops when every lane is done, and a chunk step whose block has
+  no work skips the run loop entirely.
+
+The content-independent DDA roll and the column gathers stay in XLA (render/raymarch),
+which feeds this kernel per chunk; per-ray state is carried across chunks through
+input/output aliasing.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 1 << 24  # python scalar: jnp constants would be captured consts in the kernel
+
+
+def _shift_left_one(lod):
+    return jnp.left_shift(1, lod).astype(jnp.int32)
+
+
+def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
+    WMY = float(world_max_y)  # python scalar (weak-typed)
+
+    def scan_next_unwritten(raybuf_ref, g, c_start, pred):
+        """First row >= c_start with raybuf[g, row, lane] unwritten; (1,128) in/out.
+
+        Exact equivalent of `while (seen[nfp]) nfp++` (DrawSegmentRayJob.cs:678-680):
+        rows above the segment range are never written, so the scan always terminates
+        at the true first-unwritten row (or BIG when c_start is past the end).
+        """
+        start = jnp.min(jnp.where(pred, c_start, P))
+        start = jnp.maximum(start, 0) & -8
+
+        def cond(st):
+            w, found = st
+            return (w < P) & jnp.any(pred & (found >= BIG))
+
+        def body(st):
+            w, found = st
+            tile = raybuf_ref[g, pl.ds(w, 8), :]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) + w
+            cand = jnp.where((tile < 0) & (rows >= c_start), rows, BIG)
+            tmin = jnp.min(cand, axis=0, keepdims=True)
+            return (w + 8, jnp.minimum(found, tmin))
+
+        _, found = jax.lax.while_loop(
+            cond, body, (start, jnp.full((1, 128), BIG, jnp.int32)))
+        return found
+
+    def scan_prev_unwritten(raybuf_ref, g, c_start, pred):
+        """Last row <= c_start with raybuf unwritten (seen-scan downward,
+        DrawSegmentRayJob.cs:690-692)."""
+        start = jnp.max(jnp.where(pred, c_start, 0))
+        start = jnp.clip(start, 0, P - 1) & -8
+
+        def cond(st):
+            w, found = st
+            return (w >= 0) & jnp.any(pred & (found <= -BIG))
+
+        def body(st):
+            w, found = st
+            tile = raybuf_ref[g, pl.ds(w, 8), :]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) + w
+            cand = jnp.where((tile < 0) & (rows <= c_start), rows, -BIG)
+            tmax = jnp.max(cand, axis=0, keepdims=True)
+            return (w - 8, jnp.maximum(found, tmax))
+
+        _, found = jax.lax.while_loop(
+            cond, body, (start, jnp.full((1, 128), -BIG, jnp.int32)))
+        return found
+
+    def scan_all(raybuf_ref, c_start, pred, up: bool):
+        outs = []
+        for g in range(BG):
+            cs = c_start[g:g + 1]
+            pg = pred[g:g + 1]
+            outs.append(scan_next_unwritten(raybuf_ref, g, cs, pg) if up
+                        else scan_prev_unwritten(raybuf_ref, g, cs, pg))
+        return jnp.concatenate(outs, axis=0)
+
+    def reduce_pixel_horizon(raybuf_ref, rb_min, rb_max, mask, st):
+        """ReducePixelHorizon (DrawSegmentRayJob.cs:660-697) on (BG,128) state."""
+        nfpmin, nfpmax, fbmin, fbmax = st
+        c1 = mask & (rb_min <= nfpmin)
+        rb_min2 = jnp.where(c1, nfpmin, rb_min)
+        inner1 = c1 & (rb_max >= nfpmin)
+        new_min = scan_all(raybuf_ref, rb_max + 1, inner1, up=True)
+        new_min = jnp.minimum(new_min, BIG)
+        nfpmin = jnp.where(inner1, new_min, nfpmin)
+        fbmin = jnp.where(inner1, new_min.astype(jnp.float32) - 0.501, fbmin)
+
+        c2 = mask & (rb_max >= nfpmax)
+        rb_max2 = jnp.where(c2, nfpmax, rb_max)
+        inner2 = c2 & (rb_min2 <= nfpmax)
+        new_max = scan_all(raybuf_ref, rb_min2 - 1, inner2, up=False)
+        new_max = jnp.maximum(new_max, -BIG)
+        nfpmax = jnp.where(inner2, new_max, nfpmax)
+        fbmax = jnp.where(inner2, new_max.astype(jnp.float32) + 0.501, fbmax)
+        return rb_min2, rb_max2, (nfpmin, nfpmax, fbmin, fbmax)
+
+    def write_span(raybuf_ref, rb_min, rb_max, mask, value_fn):
+        """Masked span write over unwritten pixels; returns wrote-any per lane.
+
+        value_fn(g, rows_f, rows_i) -> (tile_rows, 128) int32 color indices.
+        """
+        wrote = []
+        for g in range(BG):
+            m = mask[g:g + 1]
+            lo = jnp.min(jnp.where(m, rb_min[g:g + 1], BIG))
+            hi = jnp.max(jnp.where(m, rb_max[g:g + 1], -1))
+            lo = jnp.maximum(lo, 0) & -8
+            hi = jnp.minimum(hi, P - 1)
+            lo_l = rb_min[g:g + 1]
+            hi_l = rb_max[g:g + 1]
+
+            def cond(st):
+                w, _ = st
+                return w <= hi
+
+            def body(st):
+                w, wrote_g = st
+                tile = raybuf_ref[g, pl.ds(w, 8), :]
+                rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) + w
+                in_span = (rows >= lo_l) & (rows <= hi_l) & m
+                do = in_span & (tile < 0)
+                vals = value_fn(g, rows.astype(jnp.float32), rows)
+                raybuf_ref[g, pl.ds(w, 8), :] = jnp.where(do, vals, tile)
+                wrote_g = wrote_g | jnp.any(do, axis=0, keepdims=True)
+                return (w + 8, wrote_g)
+
+            _, wrote_g = jax.lax.while_loop(
+                cond, body, (lo, jnp.zeros((1, 128), bool)))
+            wrote.append(wrote_g)
+        return jnp.concatenate(wrote, axis=0)
+
+    def clip_world_bounds(pmin_p, pmin_w, pmax_p, pmax_w, fmin, fmax):
+        """CameraData.GetWorldBoundsClippingCamSpace (CameraData.cs:51-121),
+        components on (BG,128)."""
+        one = jnp.float32(1.0)
+
+        def clip_pair(frustum):
+            finv = one / frustum
+            c0 = pmax_p * finv - pmax_w
+            c1 = pmin_p * finv - pmin_w
+            return one - (c0 / (c0 - c1)), c1 / (c1 - c0)
+
+        min_fmax, max_fmax = clip_pair(fmax)
+        min_fmin, max_fmin = clip_pair(fmin)
+        amin = pmin_p > pmin_w * fmax
+        amax = pmax_p > pmax_w * fmax
+        bmin = pmin_p < pmin_w * fmin
+        bmax = pmax_p < pmax_w * fmin
+        clipped = (amin & amax) | (~amin & ~amax & bmin & bmax)
+        min_lerp = jnp.where(
+            amin, min_fmax,
+            jnp.where(amax, jnp.where(bmin, min_fmin, 0.0),
+                      jnp.where(bmin & ~bmax, min_fmin, 0.0)))
+        max_lerp = jnp.where(
+            amin, jnp.where(bmax, max_fmin, 1.0),
+            jnp.where(amax, max_fmax,
+                      jnp.where(~bmin & bmax, max_fmin, 1.0)))
+        return clipped, min_lerp, max_lerp
+
+    def kernel(
+        # per-chunk visit/meta inputs
+        ids0_r, ids1_r, lod_r, valid_r, nruns_r, coloroff_r, cmin_r, cmax_r,
+        runs_r,
+        # per-ray constants
+        pb_p_r, pb_n_r, pb_w_r, pt_p_r, pt_n_r, pt_w_r, pd_p_r, pd_n_r, pd_w_r,
+        camy_r, camyn_r, origmin_r, origmax_r,
+        # aliased state inputs
+        raybuf_in, nfpmin_in, nfpmax_in, fbmin_in, fbmax_in, fdmin_in, fdmax_in,
+        factive_in, alive_in,
+        # outputs (alias the state inputs)
+        raybuf_ref, nfpmin_o, nfpmax_o, fbmin_o, fbmax_o, fdmin_o, fdmax_o,
+        factive_o, alive_o,
+    ):
+        pb_p = pb_p_r[...]
+        pb_n = pb_n_r[...]
+        pb_w = pb_w_r[...]
+        pt_p = pt_p_r[...]
+        pt_n = pt_n_r[...]
+        pt_w = pt_w_r[...]
+        pd_p = pd_p_r[...]
+        pd_n = pd_n_r[...]
+        pd_w = pd_w_r[...]
+        camy = camy_r[...]
+        camyn = camyn_r[...]
+
+        # carry the raybuffer across: with input/output aliasing this is a self-copy
+        # (same memory); without (interpret mode) it seeds the output block
+        raybuf_ref[...] = raybuf_in[...]
+
+        state0 = (
+            nfpmin_in[...], nfpmax_in[...], fbmin_in[...], fbmax_in[...],
+            fdmin_in[...], fdmax_in[...], factive_in[...] != 0, alive_in[...] != 0,
+        )
+
+        def step(c, state):
+            nfpmin, nfpmax, fbmin, fbmax, fdmin, fdmax, fact, alive = state
+            valid = valid_r[c] != 0
+            nruns = nruns_r[c]
+            al = alive & valid
+            ids_l = ids0_r[c]
+            ids_n = ids1_r[c]
+            lod = lod_r[c]
+            coloroff = coloroff_r[c]
+            cmin_f = cmin_r[c].astype(jnp.float32)
+            cmax_f = cmax_r[c].astype(jnp.float32)
+            vscale_f = _shift_left_one(lod).astype(jnp.float32)
+
+            nonempty = nruns > 0
+            # ---- frustum-vs-column cull (DrawSegmentRayJob.cs:258-281)
+            dist_top = jnp.where(fdmax > 0.0, ids_n, ids_l)
+            dist_bot = jnp.where(fdmin < 0.0, ids_n, ids_l)
+            new_max = camy + fdmax * dist_top
+            new_min = camy + fdmin * dist_bot
+            cull = al & nonempty & fact & ((new_min > WMY) | (new_max < 0.0))
+            alive = alive & ~cull
+            skip_col = fact & ((cmin_f > new_max) | (cmax_f < new_min))
+            wbmin = jnp.where(fact, new_min, 0.0)
+            wbmax = jnp.where(fact, new_max, WMY)
+            process = al & ~cull & ~skip_col & nonempty
+
+            # ---- project the world column at both intersections (:289-293)
+            csml_p = pb_p + pd_p * ids_l
+            csml_n = pb_n + pd_n * ids_l
+            csml_w = pb_w + pd_w * ids_l
+            csmn_p = pb_p + pd_p * ids_n
+            csmn_n = pb_n + pd_n * ids_n
+            csmn_w = pb_w + pd_w * ids_n
+            csxl_p = pt_p + pd_p * ids_l
+            csxl_n = pt_n + pd_n * ids_l
+            csxl_w = pt_w + pd_w * ids_l
+            csxn_p = pt_p + pd_p * ids_n
+            csxn_n = pt_n + pd_n * ids_n
+            csxn_w = pt_w + pd_w * ids_n
+
+            # ---- writable-frustum re-clip when dirty (:295-422)
+            do_clip = process & (ids_l > 2.0) & ~fact
+            cl_clipped, cl_min, cl_max = clip_world_bounds(
+                csml_p, csml_w, csxl_p, csxl_w, fbmin, fbmax)
+            cn_clipped, cn_min, cn_max = clip_world_bounds(
+                csmn_p, csmn_w, csxn_p, csxn_w, fbmin, fbmax)
+            kill_clip = do_clip & cl_clipped & cn_clipped
+            alive = alive & ~kill_clip
+            process = process & ~kill_clip
+            do_clip = do_clip & ~kill_clip
+            case_l = cl_clipped
+            case_n = ~cl_clipped & cn_clipped
+
+            sel_min = jnp.where(case_l, cn_min,
+                                jnp.where(case_n, cl_min,
+                                          jnp.minimum(cl_min, cn_min)))
+            sel_max = jnp.where(case_l, cn_max,
+                                jnp.where(case_n, cl_max,
+                                          jnp.maximum(cl_max, cn_max)))
+            wbc_min = WMY * sel_min
+            wbc_max = WMY * sel_max
+            dist_min = jnp.where(case_l, ids_n,
+                                 jnp.where(case_n, ids_l,
+                                           jnp.where(cl_min < cn_min, ids_l,
+                                                     ids_n)))
+            dist_max = jnp.where(case_l, ids_n,
+                                 jnp.where(case_n, ids_l,
+                                           jnp.where(cl_max > cn_max, ids_l,
+                                                     ids_n)))
+            fdmin_new = (wbc_min - camy) / dist_min
+            fdmax_new = (wbc_max - camy) / dist_max
+
+            def sx(base_p, base_w, d_p, d_w, t):
+                return (base_p + d_p * t) / (base_w + d_w * t)
+
+            l_min_x = sx(csml_p, csml_w, csxl_p - csml_p, csxl_w - csml_w, cl_min)
+            l_max_x = sx(csml_p, csml_w, csxl_p - csml_p, csxl_w - csml_w, cl_max)
+            n_min_x = sx(csmn_p, csmn_w, csxn_p - csmn_p, csxn_w - csmn_w, cn_min)
+            n_max_x = sx(csmn_p, csmn_w, csxn_p - csmn_p, csxn_w - csmn_w, cn_max)
+            l_lo = jnp.minimum(l_min_x, l_max_x)
+            l_hi = jnp.maximum(l_min_x, l_max_x)
+            n_lo = jnp.minimum(n_min_x, n_max_x)
+            n_hi = jnp.maximum(n_min_x, n_max_x)
+            cs_clip_min = jnp.where(case_l, n_lo,
+                                    jnp.where(case_n, l_lo,
+                                              jnp.minimum(l_lo, n_lo)))
+            cs_clip_max = jnp.where(case_l, n_hi,
+                                    jnp.where(case_n, l_hi,
+                                              jnp.maximum(l_hi, n_hi)))
+
+            wbmin = jnp.where(do_clip, jnp.floor(wbc_min), wbmin)
+            wbmax = jnp.where(do_clip, jnp.ceil(wbc_max), wbmax)
+            fdmin = jnp.where(do_clip, fdmin_new, fdmin)
+            fdmax = jnp.where(do_clip, fdmax_new, fdmax)
+            fact = fact | do_clip
+
+            writable_min = jnp.floor(cs_clip_min).astype(jnp.int32)
+            writable_max = jnp.ceil(cs_clip_max).astype(jnp.int32)
+            kill_miss = do_clip & ((writable_max < nfpmin)
+                                   | (writable_min > nfpmax))
+            alive = alive & ~kill_miss
+            process = process & ~kill_miss
+            do_clip = do_clip & ~kill_miss
+
+            adv_min = do_clip & (writable_min > nfpmin)
+            nm = scan_all(raybuf_ref, writable_min, adv_min, up=True)
+            nfpmin = jnp.where(adv_min, jnp.minimum(nm, BIG), nfpmin)
+            adv_max = do_clip & (writable_max < nfpmax)
+            nx = scan_all(raybuf_ref, writable_max, adv_max, up=False)
+            nfpmax = jnp.where(adv_max, jnp.maximum(nx, -BIG), nfpmax)
+            kill_closed = do_clip & (nfpmin > nfpmax)
+            alive = alive & ~kill_closed
+            process = process & ~kill_closed
+
+            # ---- RLE run iteration (:424-611)
+            if iteration_direction > 0:
+                eb_min0 = jnp.full_like(wbmin, WMY)
+                eb_max0 = jnp.full_like(wbmin, WMY)
+            else:
+                eb_min0 = jnp.zeros_like(wbmin)
+                eb_max0 = jnp.zeros_like(wbmin)
+            run_done0 = jnp.zeros_like(process)
+
+            def run_cond(st):
+                k = st[0]
+                run_done = st[3]
+                alive_c = st[4][7]
+                return (k < MAXR) & jnp.any(
+                    process & alive_c & (k < nruns) & ~run_done)
+
+            def run_body(st):
+                k, eb_min, eb_max, run_done, state_in = st
+                (nfpmin, nfpmax, fbmin, fbmax, fdmin, fdmax, fact,
+                 alive) = state_in
+                run = runs_r[c, k]
+                length = run & 0xFFFF
+                cidx = run >> 16
+                is_air = run < 0
+                k_valid = process & alive & (k < nruns) & ~run_done
+
+                len_s = (length * _shift_left_one(lod)).astype(jnp.float32)
+                if iteration_direction > 0:
+                    eb_max_n = eb_min
+                    eb_min_n = eb_min - len_s
+                else:
+                    eb_min_n = eb_max
+                    eb_max_n = eb_min_n + len_s
+                eb_min = jnp.where(k_valid, eb_min_n, eb_min)
+                eb_max = jnp.where(k_valid, eb_max_n, eb_max)
+
+                above = eb_min > wbmax
+                below = eb_max < wbmin
+                if iteration_direction > 0:
+                    brk = k_valid & ~is_air & below
+                else:
+                    brk = k_valid & ~is_air & above
+                run_done = run_done | brk
+                draw = k_valid & ~is_air & ~above & ~below
+
+                portion_bottom = eb_min / WMY
+                portion_top = eb_max / WMY
+                cfb_p = csml_p + (csxl_p - csml_p) * portion_bottom
+                cfb_n = csml_n + (csxl_n - csml_n) * portion_bottom
+                cfb_w = csml_w + (csxl_w - csml_w) * portion_bottom
+                cft_p = csml_p + (csxl_p - csml_p) * portion_top
+                cft_n = csml_n + (csxl_n - csml_n) * portion_top
+                cft_w = csml_w + (csxl_w - csml_w) * portion_top
+
+                # --- side span (:484-542): near clip with uv interpolation
+                u_a = length.astype(jnp.float32)
+                u_b = jnp.zeros_like(u_a)
+                a_behind = cfb_n <= 0.0
+                b_behind = cft_n <= 0.0
+                vis = ~(a_behind & b_behind)
+                v_a = cft_n / (cft_n - cfb_n)
+                v_b = cfb_n / (cfb_n - cft_n)
+                clip_a = a_behind & ~b_behind
+                clip_b = b_behind & ~a_behind
+                fa_p = jnp.where(clip_a, cft_p + (cfb_p - cft_p) * v_a, cfb_p)
+                fa_w = jnp.where(clip_a, cft_w + (cfb_w - cft_w) * v_a, cfb_w)
+                u_a2 = jnp.where(clip_a, u_b + (u_a - u_b) * v_a, u_a)
+                fb2_p = jnp.where(clip_b, cfb_p + (cft_p - cfb_p) * v_b, cft_p)
+                fb2_w = jnp.where(clip_b, cfb_w + (cft_w - cfb_w) * v_b, cft_w)
+                u_b2 = jnp.where(clip_b, u_a + (u_b - u_a) * v_b, u_b)
+
+                side = draw & vis
+                uva0 = 1.0 / fa_w
+                uva1 = u_a2 / fa_w
+                uvb0 = 1.0 / fb2_w
+                uvb1 = u_b2 / fb2_w
+                rbf_a = fa_p / fa_w
+                rbf_b = fb2_p / fb2_w
+                flip = rbf_a > rbf_b
+                rbf_lo = jnp.where(flip, rbf_b, rbf_a)
+                rbf_hi = jnp.where(flip, rbf_a, rbf_b)
+                uvlo0 = jnp.where(flip, uvb0, uva0)
+                uvlo1 = jnp.where(flip, uvb1, uva1)
+                uvhi0 = jnp.where(flip, uva0, uvb0)
+                uvhi1 = jnp.where(flip, uva1, uvb1)
+                rb_min = jnp.round(rbf_lo).astype(jnp.int32)
+                rb_max = jnp.round(rbf_hi).astype(jnp.int32)
+                overlap = side & (rb_max >= nfpmin) & (rb_min <= nfpmax)
+                rb_min2, rb_max2, (nfpmin, nfpmax, fbmin, fbmax) = \
+                    reduce_pixel_horizon(raybuf_ref, rb_min, rb_max, overlap,
+                                         (nfpmin, nfpmax, fbmin, fbmax))
+
+                inv_span = 1.0 / (rbf_hi - rbf_lo)
+                base_col = coloroff + cidx
+                len_m1 = length - 1
+
+                def side_values(g, rows_f, rows_i):
+                    l = (rows_f - rbf_lo[g:g + 1]) * inv_span[g:g + 1]
+                    wu0 = uvlo0[g:g + 1] + (uvhi0[g:g + 1] - uvlo0[g:g + 1]) * l
+                    wu1 = uvlo1[g:g + 1] + (uvhi1[g:g + 1] - uvlo1[g:g + 1]) * l
+                    u = wu1 / wu0
+                    iu = jnp.where(jnp.isnan(u), 0,
+                                   jnp.floor(u).astype(jnp.int32))
+                    cl = jnp.clip(iu, 0, len_m1[g:g + 1])
+                    return base_col[g:g + 1] + cl
+
+                wrote = write_span(raybuf_ref, rb_min2, rb_max2, overlap,
+                                   side_values)
+                fact = fact & ~wrote
+                killed = overlap & (nfpmin > nfpmax)
+                alive = alive & ~killed
+
+                # --- top/bottom cap (:544-610)
+                live = draw & alive
+                top_cap = portion_top < camyn
+                bot_cap = ~top_cap & (portion_bottom > camyn)
+                skip_top = top_cap & (eb_max > wbmax)
+                skip_bot = bot_cap & (eb_min < wbmin)
+                cap = live & ((top_cap & ~skip_top) | (bot_cap & ~skip_bot))
+                sec_idx = jnp.where(top_cap, cidx, cidx + length - 1)
+                portion_cap = jnp.where(top_cap, portion_top, portion_bottom)
+                sa_p = csmn_p + (csxn_p - csmn_p) * portion_cap
+                sa_n = csmn_n + (csxn_n - csmn_n) * portion_cap
+                sa_w = csmn_w + (csxn_w - csmn_w) * portion_cap
+                sb_p = jnp.where(top_cap, cft_p, cfb_p)
+                sb_n = jnp.where(top_cap, cft_n, cfb_n)
+                sb_w = jnp.where(top_cap, cft_w, cfb_w)
+
+                a2_behind = sa_n <= 0.0
+                b2_behind = sb_n <= 0.0
+                vis2 = ~(a2_behind & b2_behind)
+                v2a = sb_n / (sb_n - sa_n)
+                v2b = sa_n / (sa_n - sb_n)
+                c2a = a2_behind & ~b2_behind
+                c2b = b2_behind & ~a2_behind
+                sa2_p = jnp.where(c2a, sb_p + (sa_p - sb_p) * v2a, sa_p)
+                sa2_w = jnp.where(c2a, sb_w + (sa_w - sb_w) * v2a, sa_w)
+                sb2_p = jnp.where(c2b, sa_p + (sb_p - sa_p) * v2b, sb_p)
+                sb2_w = jnp.where(c2b, sa_w + (sb_w - sa_w) * v2b, sb_w)
+                cap = cap & vis2
+                r2a = jnp.round(sa2_p / sa2_w)
+                r2b = jnp.round(sb2_p / sb2_w)
+                rb2_min = jnp.minimum(r2a, r2b).astype(jnp.int32)
+                rb2_max = jnp.maximum(r2a, r2b).astype(jnp.int32)
+                overlap2 = cap & (rb2_max >= nfpmin) & (rb2_min <= nfpmax)
+                rb2_min2, rb2_max2, (nfpmin, nfpmax, fbmin, fbmax) = \
+                    reduce_pixel_horizon(raybuf_ref, rb2_min, rb2_max, overlap2,
+                                         (nfpmin, nfpmax, fbmin, fbmax))
+                cap_col = coloroff + sec_idx
+
+                def cap_values(g, rows_f, rows_i):
+                    return jnp.broadcast_to(cap_col[g:g + 1], rows_i.shape)
+
+                wrote2 = write_span(raybuf_ref, rb2_min2, rb2_max2, overlap2,
+                                    cap_values)
+                fact = fact & ~wrote2
+                killed2 = overlap2 & (nfpmin > nfpmax)
+                alive = alive & ~killed2
+
+                return (k + 1, eb_min, eb_max, run_done,
+                        (nfpmin, nfpmax, fbmin, fbmax, fdmin, fdmax, fact,
+                         alive))
+
+            _, _, _, _, state_out = jax.lax.while_loop(
+                run_cond, run_body,
+                (0, eb_min0, eb_max0, run_done0,
+                 (nfpmin, nfpmax, fbmin, fbmax, fdmin, fdmax, fact, alive)))
+            return state_out
+
+        state = jax.lax.fori_loop(0, C, step, state0)
+        nfpmin, nfpmax, fbmin, fbmax, fdmin, fdmax, fact, alive = state
+        nfpmin_o[...] = nfpmin
+        nfpmax_o[...] = nfpmax
+        fbmin_o[...] = fbmin
+        fbmax_o[...] = fbmax
+        fdmin_o[...] = fdmin
+        fdmax_o[...] = fdmax
+        factive_o[...] = fact.astype(jnp.int32)
+        alive_o[...] = alive.astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("C", "MAXR", "BG", "P", "iteration_direction",
+                     "world_max_y", "interpret"))
+def rasterize_chunk(
+    visits,  # dict of (C, G, 128) arrays: ids0, ids1, lod, valid
+    meta,  # dict of (C, G, 128): n_runs, color_off, cmin, cmax
+    runs,  # (C, MAXR, G, 128) int32
+    consts,  # dict of (G, 128): pb_p..pd_w (9), cam_y, cam_y_norm
+    raybuf,  # (G, P, 128) int32
+    state,  # dict of (G, 128): nfp_min, nfp_max, fb_min, fb_max, fdir_min,
+            #                   fdir_max, f_active, alive (int32)
+    C: int, MAXR: int, BG: int, P: int, iteration_direction: int,
+    world_max_y: float, interpret: bool = False,
+):
+    G = raybuf.shape[0]
+    assert G % BG == 0, (G, BG)
+    grid = (G // BG,)
+
+    kern = _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y)
+
+    def bs_cg():  # (C, G, 128) -> (C, BG, 128)
+        return pl.BlockSpec((C, BG, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def bs_runs():
+        return pl.BlockSpec((C, MAXR, BG, 128), lambda i: (0, 0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def bs_g():  # (G, 128) -> (BG, 128)
+        return pl.BlockSpec((BG, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def bs_rb():  # (G, P, 128) -> (BG, P, 128)
+        return pl.BlockSpec((BG, P, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    state_keys = ("nfp_min", "nfp_max", "fb_min", "fb_max", "fdir_min",
+                  "fdir_max", "f_active", "alive")
+    inputs = [
+        visits["ids0"], visits["ids1"], visits["lod"], visits["valid"],
+        meta["n_runs"], meta["color_off"], meta["cmin"], meta["cmax"], runs,
+        consts["pb_p"], consts["pb_n"], consts["pb_w"],
+        consts["pt_p"], consts["pt_n"], consts["pt_w"],
+        consts["pd_p"], consts["pd_n"], consts["pd_w"],
+        consts["cam_y"], consts["cam_y_norm"],
+        consts["orig_min"], consts["orig_max"],
+        raybuf, *(state[k] for k in state_keys),
+    ]
+    in_specs = ([bs_cg()] * 8 + [bs_runs()] + [bs_g()] * 13
+                + [bs_rb()] + [bs_g()] * 8)
+    out_specs = [bs_rb()] + [bs_g()] * 8
+    out_shape = [jax.ShapeDtypeStruct(raybuf.shape, raybuf.dtype)] + [
+        jax.ShapeDtypeStruct((G, 128), state[k].dtype) for k in state_keys]
+
+    # raybuf is input 22 -> output 0; state inputs 23..30 -> outputs 1..8.
+    # (interpret mode doesn't honor aliasing; the kernel's explicit copy-in keeps it
+    # correct either way)
+    aliases = {22: 0}
+    for j in range(8):
+        aliases[23 + j] = 1 + j
+    kwargs = {} if interpret else {"input_output_aliases": aliases}
+
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        **kwargs,
+    )(*inputs)
+    raybuf_out = out[0]
+    state_out = {k: out[1 + j] for j, k in enumerate(state_keys)}
+    return raybuf_out, state_out

@@ -72,14 +72,21 @@ class Renderer:
         pixel_len = max(cfg.width, cfg.height)
         lod_distances = np.append(cam_data.lod_distances.astype(F),
                                   [np.float32(np.inf)] * 2)
-        raybuf_idx = raymarch.march_jit(
-            self._wa, static, dda, alive0,
-            jnp.asarray(lod_distances), jnp.float32(cam_data.far_clip),
-            jnp.float32(dims[1]), jnp.float32(cam_data.position_y),
+        common = dict(
             iteration_direction=(
                 -1 if cam_data.inverse_element_iteration_direction else 1),
             chunk=cfg.chunk_steps, max_chunks=cfg.max_march_chunks,
             max_runs=self.device_world.max_runs, dims=dims, pixel_len=pixel_len)
+        args = (self._wa, static, dda, alive0,
+                jnp.asarray(lod_distances), jnp.float32(cam_data.far_clip))
+        cam_y = jnp.float32(cam_data.position_y)
+        if cfg.backend == "pallas":
+            raybuf_idx = raymarch.march_pallas_jit(
+                *args, float(dims[1]), cam_y, **common,
+                block_groups=cfg.block_groups, interpret=cfg.pallas_interpret)
+        else:
+            raybuf_idx = raymarch.march_jit(*args, jnp.float32(dims[1]), cam_y,
+                                            **common)
         raybuf_argb = raymarch.resolve_colors(raybuf_idx, self._colors)
 
         n_td = segs[0].ray_count + segs[1].ray_count

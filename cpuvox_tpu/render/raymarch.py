@@ -738,6 +738,124 @@ march_jit = jax.jit(
                      "dims", "pixel_len"))
 
 
+# --------------------------------------------------------- Pallas-backed phase 1
+
+
+def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
+                  cam_y, iteration_direction, chunk, max_chunks, max_runs, dims,
+                  pixel_len, block_groups=4, interpret=False):
+    """Phase 1 with the chunk rasterizer as a Pallas TPU kernel (cpuvox_tpu.ops.
+    phase1_kernel).  Same DDA roll + gathers as `phase1`; per-ray state and the
+    raybuffer live in kernel-friendly (G, 128)-lane layout."""
+    from cpuvox_tpu.ops import phase1_kernel as pk
+
+    R = static.dirs.shape[0]
+    assert R % 128 == 0
+    G = R // 128
+    BG = block_groups
+    while G % BG:
+        BG //= 2
+    P = ((pixel_len + 7) // 8) * 8
+    C = chunk
+    MAXR = max_runs
+    lod_distances = jnp.asarray(lod_distances)
+    cam_y = jnp.broadcast_to(jnp.asarray(cam_y, jnp.float32), (R,))
+
+    def g128(x):
+        return x.reshape(G, 128)
+
+    consts = {
+        "pb_p": g128(static.plane_bottom[:, 0]),
+        "pb_n": g128(static.plane_bottom[:, 1]),
+        "pb_w": g128(static.plane_bottom[:, 2]),
+        "pt_p": g128(static.plane_top[:, 0]),
+        "pt_n": g128(static.plane_top[:, 1]),
+        "pt_w": g128(static.plane_top[:, 2]),
+        "pd_p": g128(static.plane_dir[:, 0]),
+        "pd_n": g128(static.plane_dir[:, 1]),
+        "pd_w": g128(static.plane_dir[:, 2]),
+        "cam_y": g128(cam_y),
+        "cam_y_norm": g128(cam_y / jnp.float32(world_max_y)),
+        "orig_min": g128(static.orig_min),
+        "orig_max": g128(static.orig_max),
+    }
+
+    state = {
+        "nfp_min": g128(static.orig_min),
+        "nfp_max": g128(static.orig_max),
+        "fb_min": g128(static.orig_min.astype(jnp.float32) - 0.501),
+        "fb_max": g128(static.orig_max.astype(jnp.float32) + 0.501),
+        "fdir_min": jnp.zeros((G, 128), jnp.float32),
+        "fdir_max": jnp.zeros((G, 128), jnp.float32),
+        "f_active": jnp.zeros((G, 128), jnp.int32),
+        "alive": jnp.ones((G, 128), jnp.int32),
+    }
+    raybuf = jnp.full((G, P, 128), -1, jnp.int32)
+
+    def cond(carry):
+        i, dda, alive, raybuf, state = carry
+        return (i < max_chunks) & (alive & (state["alive"].reshape(R) != 0)).any()
+
+    def body(carry):
+        i, dda, alive, raybuf, state = carry
+        march_alive = alive & (state["alive"].reshape(R) != 0)
+        dda, march_alive, visits = _roll_chunk(
+            dda, march_alive, static.dirs, lod_distances, far_clip, dims, chunk)
+        v_pos, v_ids, v_lod, v_valid = visits  # (C, R, ...)
+
+        lodc = jnp.clip(v_lod, 0, 7)
+        ci = (wa.col_base[lodc]
+              + (v_pos[:, :, 0] >> v_lod) * wa.grid_z[lodc]
+              + (v_pos[:, :, 1] >> v_lod))
+        ci = jnp.where(v_valid, ci, 0)
+        n_runs = jnp.where(v_valid, wa.col_runs[ci], 0)
+        run_off = wa.col_offset[ci]
+
+        ks = jnp.arange(MAXR, dtype=jnp.int32)[None, :, None]  # (1, MAXR, 1)
+        if iteration_direction > 0:
+            rel = ks
+        else:
+            rel = jnp.maximum(n_runs[:, None, :] - 1 - ks, 0)
+        idx = jnp.clip(run_off[:, None, :] + rel, 0, wa.runs.shape[0] - 1)
+        runs_k = wa.runs[idx]  # (C, MAXR, R)
+
+        visits_d = {
+            "ids0": v_ids[:, :, 0].reshape(C, G, 128),
+            "ids1": v_ids[:, :, 1].reshape(C, G, 128),
+            "lod": v_lod.reshape(C, G, 128),
+            "valid": v_valid.astype(jnp.int32).reshape(C, G, 128),
+        }
+        meta = {
+            "n_runs": n_runs.reshape(C, G, 128),
+            "color_off": wa.col_color_offset[ci].reshape(C, G, 128),
+            "cmin": wa.col_min[ci].reshape(C, G, 128),
+            "cmax": wa.col_max[ci].reshape(C, G, 128),
+        }
+        runs_r = runs_k.reshape(C, MAXR, G, 128)
+
+        raybuf, state = pk.rasterize_chunk(
+            visits_d, meta, runs_r, consts, raybuf, state,
+            C=C, MAXR=MAXR, BG=BG, P=P,
+            iteration_direction=iteration_direction,
+            world_max_y=float(world_max_y), interpret=interpret)
+        return i + 1, dda, march_alive, raybuf, state
+
+    init = (jnp.int32(0), dda, alive0, raybuf, state)
+    _, _, _, raybuf, state = jax.lax.while_loop(cond, body, init)
+
+    # (G, P, 128) -> (R, pixel_len) logical layout + deferred skybox fill
+    rb = raybuf.transpose(0, 2, 1).reshape(R, P)[:, :pixel_len]
+    pix = jnp.arange(pixel_len, dtype=jnp.int32)[None, :]
+    in_range = (pix >= static.orig_min[:, None]) & (pix <= static.orig_max[:, None])
+    return jnp.where((rb < 0) & in_range, 0, rb)
+
+
+march_pallas_jit = jax.jit(
+    phase1_pallas,
+    static_argnames=("world_max_y", "iteration_direction", "chunk", "max_chunks",
+                     "max_runs", "dims", "pixel_len", "block_groups", "interpret"))
+
+
 def resolve_colors(raybuf_idx, colors, debug_magenta=np.uint32(0xFFFF1493)):
     """Color-index raybuffer -> ARGB uint32; unwritten (-1) -> debug magenta."""
     vals = colors[jnp.clip(raybuf_idx, 0, colors.shape[0] - 1)]

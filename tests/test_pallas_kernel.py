@@ -1,0 +1,66 @@
+"""Pallas phase-1 kernel (interpret mode on CPU) vs the XLA reference path."""
+import numpy as np
+import pytest
+
+import scenes
+from cpuvox_tpu.config import RenderConfig
+from cpuvox_tpu.render import camera as cm
+from cpuvox_tpu.render.frame import Renderer
+from cpuvox_tpu.world import rle
+
+SCREEN = (64, 48)
+
+
+def render_both(world_or_lods, campos, pitch, yaw=0.0, screen=SCREEN):
+    lods = [world_or_lods] * 6 if isinstance(world_or_lods, rle.WorldLOD) \
+        else world_or_lods
+    cam = cm.Camera(position=campos, pitch_deg=pitch, yaw_deg=yaw, screen=screen)
+    outs = {}
+    for backend in ("xla", "pallas"):
+        cfg = RenderConfig(width=screen[0], height=screen[1], chunk_steps=8,
+                           max_march_chunks=64, backend=backend,
+                           pallas_interpret=True, block_groups=2)
+        r = Renderer.create(lods, cfg)
+        outs[backend] = r.render(cam, return_raybuffers=True)
+    return outs
+
+
+CASES = [
+    ("floor_down", "floor", (8, 6, 8), 85.0, 0.0),
+    ("floor_gentle", "floor", (8, 3, 8), 8.0, 45.0),
+    ("floor_up", "floor", (8, 6, 8), -35.0, 10.0),
+    ("tower", "tower", (8.5, 5, 2), 5.0, 0.0),
+    ("random", "random", (8, 10, 8), 25.0, 70.0),
+]
+
+
+@pytest.mark.parametrize("name,scene,pos,pitch,yaw", CASES)
+def test_pallas_matches_xla(name, scene, pos, pitch, yaw):
+    if scene == "floor":
+        w = scenes.flat_floor_world()
+    elif scene == "tower":
+        w = scenes.tower_world(x=8, z=12, height=10)
+    else:
+        w = scenes.random_world(n=300, seed=5)
+    outs = render_both(w, pos, pitch, yaw)
+    xs, (xtd, xlr, *_) = outs["xla"]
+    ps, (ptd, plr, *_) = outs["pallas"]
+    td_diff = int(np.sum(xtd != ptd))
+    lr_diff = int(np.sum(xlr != plr))
+    if td_diff or lr_diff:
+        d = np.nonzero(xtd != ptd)
+        detail = [f"td[{r},{p}]: xla={xtd[r, p]:#x} pallas={ptd[r, p]:#x}"
+                  for r, p in list(zip(*d))[:10]]
+        raise AssertionError(
+            f"{name}: {td_diff} td + {lr_diff} lr texels differ\n" + "\n".join(detail))
+    assert np.array_equal(xs, ps), f"{name}: screens differ"
+
+
+def test_pallas_lod_chain():
+    w0 = scenes.flat_floor_world(dims=(64, 16, 64))
+    lods = rle.build_lod_chain(w0, 6)
+    outs = render_both(lods, (32, 4, 32), 12.0, yaw=30.0)
+    xs, (xtd, xlr, *_) = outs["xla"]
+    ps, (ptd, plr, *_) = outs["pallas"]
+    assert np.array_equal(xtd, ptd)
+    assert np.array_equal(xlr, plr)
