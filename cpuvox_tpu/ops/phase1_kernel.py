@@ -220,15 +220,15 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
 
         def step(c, state):
             nfpmin, nfpmax, fbmin, fbmax, fdmin, fdmax, fact, alive = state
-            valid = valid_r[c] != 0
-            nruns = nruns_r[c]
+            valid = valid_r[:, c, :] != 0
+            nruns = nruns_r[:, c, :]
             al = alive & valid
-            ids_l = ids0_r[c]
-            ids_n = ids1_r[c]
-            lod = lod_r[c]
-            coloroff = coloroff_r[c]
-            cmin_f = cmin_r[c].astype(jnp.float32)
-            cmax_f = cmax_r[c].astype(jnp.float32)
+            ids_l = ids0_r[:, c, :]
+            ids_n = ids1_r[:, c, :]
+            lod = lod_r[:, c, :]
+            coloroff = coloroff_r[:, c, :]
+            cmin_f = cmin_r[:, c, :].astype(jnp.float32)
+            cmax_f = cmax_r[:, c, :].astype(jnp.float32)
             vscale_f = _shift_left_one(lod).astype(jnp.float32)
 
             nonempty = nruns > 0
@@ -352,7 +352,7 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
                 k, eb_min, eb_max, run_done, state_in = st
                 (nfpmin, nfpmax, fbmin, fbmax, fdmin, fdmax, fact,
                  alive) = state_in
-                run = runs_r[c, k]
+                run = runs_r[:, c, k, :]
                 length = run & 0xFFFF
                 cidx = run >> 16
                 is_air = run < 0
@@ -536,12 +536,13 @@ def rasterize_chunk(
 
     kern = _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y)
 
-    def bs_cg():  # (C, G, 128) -> (C, BG, 128)
-        return pl.BlockSpec((C, BG, 128), lambda i: (0, i, 0),
+    def bs_cg():  # (G, C, 128) -> (BG, C, 128); Mosaic needs the last two block
+        # dims divisible by (8, 128), so the ray-group axis leads
+        return pl.BlockSpec((BG, C, 128), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    def bs_runs():
-        return pl.BlockSpec((C, MAXR, BG, 128), lambda i: (0, 0, i, 0),
+    def bs_runs():  # (G, C, MAXR, 128) -> (BG, C, MAXR, 128); MAXR padded to 8
+        return pl.BlockSpec((BG, C, MAXR, 128), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def bs_g():  # (G, 128) -> (BG, 128)

@@ -64,8 +64,10 @@ class Renderer:
 
         dims = self.device_world.dims
         # fixed worst-case ray-count padding (RenderManager.cs:34-38 buffer sizing):
-        # one jit signature for every camera pose
-        r_max = ((3 * (cfg.width + cfg.height) + 127) // 128) * 128
+        # one jit signature for every camera pose; the pallas path blocks rays in
+        # 8x128 groups
+        quantum = 1024 if cfg.backend == "pallas" else 128
+        r_max = ((3 * (cfg.width + cfg.height) + quantum - 1) // quantum) * quantum
         static, dda, alive0, meta = raymarch.init_rays(
             cam_data, segs, ctxs, dims, fixed_size=r_max)
 
@@ -81,9 +83,10 @@ class Renderer:
                 jnp.asarray(lod_distances), jnp.float32(cam_data.far_clip))
         cam_y = jnp.float32(cam_data.position_y)
         if cfg.backend == "pallas":
+            interpret = cfg.pallas_interpret or jax.default_backend() == "cpu"
             raybuf_idx = raymarch.march_pallas_jit(
                 *args, float(dims[1]), cam_y, **common,
-                block_groups=cfg.block_groups, interpret=cfg.pallas_interpret)
+                block_groups=cfg.block_groups, interpret=interpret)
         else:
             raybuf_idx = raymarch.march_jit(*args, jnp.float32(dims[1]), cam_y,
                                             **common)

@@ -750,11 +750,10 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
     from cpuvox_tpu.ops import phase1_kernel as pk
 
     R = static.dirs.shape[0]
-    assert R % 128 == 0
+    assert R % 1024 == 0, f"pallas path needs R % 1024 == 0, got {R}"
     G = R // 128
-    BG = block_groups
-    while G % BG:
-        BG //= 2
+    BG = 8  # Mosaic: block second-minor dim of (BG, 128) state blocks must be 8-div
+    del block_groups
     P = ((pixel_len + 7) // 8) * 8
     C = chunk
     MAXR = max_runs
@@ -819,19 +818,22 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
         idx = jnp.clip(run_off[:, None, :] + rel, 0, wa.runs.shape[0] - 1)
         runs_k = wa.runs[idx]  # (C, MAXR, R)
 
+        def to_gc(x):  # (C, R) -> (G, C, 128)
+            return x.reshape(C, G, 128).transpose(1, 0, 2)
+
         visits_d = {
-            "ids0": v_ids[:, :, 0].reshape(C, G, 128),
-            "ids1": v_ids[:, :, 1].reshape(C, G, 128),
-            "lod": v_lod.reshape(C, G, 128),
-            "valid": v_valid.astype(jnp.int32).reshape(C, G, 128),
+            "ids0": to_gc(v_ids[:, :, 0]),
+            "ids1": to_gc(v_ids[:, :, 1]),
+            "lod": to_gc(v_lod),
+            "valid": to_gc(v_valid.astype(jnp.int32)),
         }
         meta = {
-            "n_runs": n_runs.reshape(C, G, 128),
-            "color_off": wa.col_color_offset[ci].reshape(C, G, 128),
-            "cmin": wa.col_min[ci].reshape(C, G, 128),
-            "cmax": wa.col_max[ci].reshape(C, G, 128),
+            "n_runs": to_gc(n_runs),
+            "color_off": to_gc(wa.col_color_offset[ci]),
+            "cmin": to_gc(wa.col_min[ci]),
+            "cmax": to_gc(wa.col_max[ci]),
         }
-        runs_r = runs_k.reshape(C, MAXR, G, 128)
+        runs_r = runs_k.reshape(C, MAXR, G, 128).transpose(2, 0, 1, 3)
 
         raybuf, state = pk.rasterize_chunk(
             visits_d, meta, runs_r, consts, raybuf, state,

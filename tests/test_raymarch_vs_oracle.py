@@ -25,7 +25,7 @@ def compare_frame(world_or_lods, campos, pitch, yaw=0.0, screen=SCREEN,
 
     # vectorized — same lod distances / far clip
     cfg = RenderConfig(width=screen[0], height=screen[1], chunk_steps=8,
-                       max_march_chunks=64)
+                       max_march_chunks=64, backend="xla")
     r = Renderer.create(lods, cfg)
     r.lod_distances = np.asarray(cam_data.lod_distances)
     r.far_clip = float(cam_data.far_clip)
