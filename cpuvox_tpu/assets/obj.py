@@ -51,7 +51,36 @@ def _load_mtllib(obj_path: str, rel: str) -> list[Material]:
     return materials
 
 
-def import_obj(path: str, swap_yz: bool = False) -> SimpleMesh:
+def import_obj(path: str, swap_yz: bool = False,
+               use_native: bool = True) -> SimpleMesh:
+    """Import an .obj as an unindexed triangle soup.
+
+    Uses the native C++ parser (csrc/voxio.cpp via assets.native) when available —
+    the reference reports ~30 s for the 800 MB powerplant with its C# reader
+    (README.md:69); the native path parses at >200 MB/s.  Falls back to the
+    pure-python reference parser below.
+    """
+    if use_native:
+        from . import native
+
+        parsed = None
+        if native.available():
+            parsed = native.parse_obj(path, swap_yz)
+        if parsed is not None:
+            positions, colors, uvs, mats, mtllib, names = parsed
+            materials: list[Material] = []
+            if mtllib and names:
+                by_name = {m.name: m for m in _load_mtllib(path, mtllib)}
+                for i, name in enumerate(names):
+                    m = by_name.get(name, Material(name=name, index=i))
+                    m.index = i
+                    materials.append(m)
+            return SimpleMesh(positions=positions, colors=colors, uvs=uvs,
+                              material_index=mats, materials=materials)
+    return _import_obj_python(path, swap_yz)
+
+
+def _import_obj_python(path: str, swap_yz: bool = False) -> SimpleMesh:
     positions: list[list[float]] = []
     colors: list[list[float]] = []
     uvs: list[list[float]] = []

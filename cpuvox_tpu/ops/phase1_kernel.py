@@ -147,13 +147,14 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
                 do = in_span & (tile < 0)
                 vals = value_fn(g, rows.astype(jnp.float32), rows)
                 raybuf_ref[g, pl.ds(w, 8), :] = jnp.where(do, vals, tile)
-                wrote_g = wrote_g | jnp.any(do, axis=0, keepdims=True)
+                wrote_g = wrote_g | jnp.any(
+                    do, axis=0, keepdims=True).astype(jnp.int32)
                 return (w + 8, wrote_g)
 
             _, wrote_g = jax.lax.while_loop(
-                cond, body, (lo, jnp.zeros((1, 128), bool)))
+                cond, body, (lo, jnp.zeros((1, 128), jnp.int32)))
             wrote.append(wrote_g)
-        return jnp.concatenate(wrote, axis=0)
+        return jnp.concatenate(wrote, axis=0) != 0
 
     def clip_world_bounds(pmin_p, pmin_w, pmax_p, pmax_w, fmin, fmax):
         """CameraData.GetWorldBoundsClippingCamSpace (CameraData.cs:51-121),
@@ -213,13 +214,18 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
         # (same memory); without (interpret mode) it seeds the output block
         raybuf_ref[...] = raybuf_in[...]
 
+        # NOTE: loop-carried masks are int32 — Mosaic fails to legalize i1
+        # vector layouts across scf loop boundaries
         state0 = (
             nfpmin_in[...], nfpmax_in[...], fbmin_in[...], fbmax_in[...],
-            fdmin_in[...], fdmax_in[...], factive_in[...] != 0, alive_in[...] != 0,
+            fdmin_in[...], fdmax_in[...], factive_in[...], alive_in[...],
         )
 
         def step(c, state):
-            nfpmin, nfpmax, fbmin, fbmax, fdmin, fdmax, fact, alive = state
+            (nfpmin, nfpmax, fbmin, fbmax, fdmin, fdmax, fact_i,
+             alive_i) = state
+            fact = fact_i != 0
+            alive = alive_i != 0
             valid = valid_r[:, c, :] != 0
             nruns = nruns_r[:, c, :]
             al = alive & valid
@@ -339,19 +345,22 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
             else:
                 eb_min0 = jnp.zeros_like(wbmin)
                 eb_max0 = jnp.zeros_like(wbmin)
-            run_done0 = jnp.zeros_like(process)
+            run_done0 = jnp.zeros_like(nruns)
 
             def run_cond(st):
                 k = st[0]
-                run_done = st[3]
-                alive_c = st[4][7]
+                run_done = st[3] != 0
+                alive_c = st[4][7] != 0
                 return (k < MAXR) & jnp.any(
                     process & alive_c & (k < nruns) & ~run_done)
 
             def run_body(st):
-                k, eb_min, eb_max, run_done, state_in = st
-                (nfpmin, nfpmax, fbmin, fbmax, fdmin, fdmax, fact,
-                 alive) = state_in
+                k, eb_min, eb_max, run_done_i, state_in = st
+                run_done = run_done_i != 0
+                (nfpmin, nfpmax, fbmin, fbmax, fdmin, fdmax, fact_i,
+                 alive_i) = state_in
+                fact = fact_i != 0
+                alive = alive_i != 0
                 run = runs_r[:, c, k, :]
                 length = run & 0xFFFF
                 cidx = run >> 16
@@ -491,14 +500,15 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
                 killed2 = overlap2 & (nfpmin > nfpmax)
                 alive = alive & ~killed2
 
-                return (k + 1, eb_min, eb_max, run_done,
-                        (nfpmin, nfpmax, fbmin, fbmax, fdmin, fdmax, fact,
-                         alive))
+                return (k + 1, eb_min, eb_max, run_done.astype(jnp.int32),
+                        (nfpmin, nfpmax, fbmin, fbmax, fdmin, fdmax,
+                         fact.astype(jnp.int32), alive.astype(jnp.int32)))
 
             _, _, _, _, state_out = jax.lax.while_loop(
                 run_cond, run_body,
                 (0, eb_min0, eb_max0, run_done0,
-                 (nfpmin, nfpmax, fbmin, fbmax, fdmin, fdmax, fact, alive)))
+                 (nfpmin, nfpmax, fbmin, fbmax, fdmin, fdmax,
+                  fact.astype(jnp.int32), alive.astype(jnp.int32))))
             return state_out
 
         state = jax.lax.fori_loop(0, C, step, state0)
@@ -509,8 +519,8 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
         fbmax_o[...] = fbmax
         fdmin_o[...] = fdmin
         fdmax_o[...] = fdmax
-        factive_o[...] = fact.astype(jnp.int32)
-        alive_o[...] = alive.astype(jnp.int32)
+        factive_o[...] = fact
+        alive_o[...] = alive
 
     return kernel
 
