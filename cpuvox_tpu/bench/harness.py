@@ -31,7 +31,10 @@ def run_flythrough(renderer: Renderer, n_frames: int = 24, warmup: int = 1,
     for t in ts:
         cam = benchmark_camera(float(t), dims, (w, h))
         f0 = time.perf_counter()
-        screen = renderer.render(cam)
+        # device-resident frame; no per-frame host readback (the reference's frame
+        # loop also never reads pixels back — the GPU presents them)
+        screen, _, _ = renderer.render_device(cam)
+        screen.block_until_ready()
         frame_times.append(time.perf_counter() - f0)
         ray_columns += 3 * (w + h)  # worst-case padded ray count actually marched
     total = time.perf_counter() - t_start

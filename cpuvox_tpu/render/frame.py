@@ -1,9 +1,16 @@
 """Full-frame render orchestration (the RenderManager.DrawWorld equivalent,
-RenderManager.cs:111-194): host-side VP/segment/camera setup, device phase-1 march,
-color resolve, phase-2 reprojection."""
+RenderManager.cs:111-194).
+
+Host work per frame is only the tiny VP/segment geometry (a few hundred bytes of
+FrameParams); ray setup, the phase-1 march, color resolve and phase-2 reprojection all
+run as ONE fused jitted device program — there is no per-frame bulk host<->device
+traffic (the reference's per-frame texture upload, RayBuffer.cs:91-96, has no
+equivalent here by design; see SURVEY.md §2 parallelism table).
+"""
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -13,11 +20,38 @@ from cpuvox_tpu.config import RenderConfig
 from cpuvox_tpu.world.rle import WorldLOD
 
 from . import camera as cm
-from . import raymarch, reproject
+from . import device_init, raymarch, reproject
 from . import segments as sg
 from .device import DeviceWorld, build_device_world
 
 F = np.float32
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("backend", "interpret", "iteration_direction", "chunk",
+                     "max_chunks", "max_runs", "dims", "pixel_len", "width",
+                     "height", "R"))
+def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
+              backend, interpret, iteration_direction, chunk, max_chunks,
+              max_runs, dims, pixel_len, width, height, R):
+    static, dda, alive0 = device_init.init_rays_device(fp, dims, R)
+    common = dict(iteration_direction=iteration_direction, chunk=chunk,
+                  max_chunks=max_chunks, max_runs=max_runs, dims=dims,
+                  pixel_len=pixel_len)
+    if backend == "pallas":
+        raybuf_idx = raymarch.phase1_pallas(
+            wa, static, dda, alive0, fp.lod_distances, fp.far_clip,
+            float(dims[1]), fp.cam_pos[1], **common, interpret=interpret)
+    else:
+        raybuf_idx = raymarch.phase1(
+            wa, static, dda, alive0, fp.lod_distances, fp.far_clip,
+            jnp.float32(dims[1]), fp.cam_pos[1], **common)
+    argb = raymarch.resolve_colors(raybuf_idx, wa.colors)
+    screen = reproject.reproject.__wrapped__(
+        argb, tri_a, tri_b, tri_c, ray_count, ray_base, active,
+        width=width, height=height)
+    return screen, argb
 
 
 @dataclasses.dataclass
@@ -29,15 +63,21 @@ class Renderer:
     lod_distances: np.ndarray | None = None
     far_clip: float = 0.0
     _wa: raymarch.WorldArrays | None = None
-    _colors: jnp.ndarray | None = None
 
     @classmethod
     def create(cls, lods: list[WorldLOD], config: RenderConfig = RenderConfig()):
         dw = build_device_world(lods)
         r = cls(device_world=dw, config=config)
         r._wa = raymarch.world_arrays(dw)
-        r._colors = r._wa.colors
         return r
+
+    @property
+    def ray_capacity(self) -> int:
+        """Fixed worst-case padded ray count (RenderManager.cs:34-38 buffer sizing)
+        so every camera pose shares one jit signature."""
+        cfg = self.config
+        quantum = 1024 if cfg.backend == "pallas" else 128
+        return ((3 * (cfg.width + cfg.height) + quantum - 1) // quantum) * quantum
 
     def setup_camera(self, cam: cm.Camera) -> tuple[cm.Camera, cm.CameraData]:
         """Per-camera LOD distances + snapshot (UnityManager.LateUpdate semantics:
@@ -52,8 +92,11 @@ class Renderer:
         cam_data = cm.make_camera_data(cam, self.lod_distances, self.far_clip)
         return cam, cam_data
 
-    def render(self, cam: cm.Camera, return_raybuffers: bool = False):
-        """Render one frame; returns (H, W) uint32 ARGB with row 0 = screen bottom."""
+    def render_device(self, cam: cm.Camera):
+        """Render one frame fully on device.
+
+        Returns (screen (H, W) uint32 device array, raybuf_argb, frame geometry).
+        """
         cfg = self.config
         cam, cam_data = self.setup_camera(cam)
 
@@ -63,47 +106,43 @@ class Renderer:
         ctxs = sg.build_segment_contexts(cam, segs, vp_screen)
 
         dims = self.device_world.dims
-        # fixed worst-case ray-count padding (RenderManager.cs:34-38 buffer sizing):
-        # one jit signature for every camera pose; the pallas path blocks rays in
-        # 8x128 groups
-        quantum = 1024 if cfg.backend == "pallas" else 128
-        r_max = ((3 * (cfg.width + cfg.height) + quantum - 1) // quantum) * quantum
-        static, dda, alive0, meta = raymarch.init_rays(
-            cam_data, segs, ctxs, dims, fixed_size=r_max)
-
-        pixel_len = max(cfg.width, cfg.height)
-        lod_distances = np.append(cam_data.lod_distances.astype(F),
-                                  [np.float32(np.inf)] * 2)
-        common = dict(
-            iteration_direction=(
-                -1 if cam_data.inverse_element_iteration_direction else 1),
-            chunk=cfg.chunk_steps, max_chunks=cfg.max_march_chunks,
-            max_runs=self.device_world.max_runs, dims=dims, pixel_len=pixel_len)
-        args = (self._wa, static, dda, alive0,
-                jnp.asarray(lod_distances), jnp.float32(cam_data.far_clip))
-        cam_y = jnp.float32(cam_data.position_y)
-        if cfg.backend == "pallas":
-            interpret = cfg.pallas_interpret or jax.default_backend() == "cpu"
-            raybuf_idx = raymarch.march_pallas_jit(
-                *args, float(dims[1]), cam_y, **common,
-                block_groups=cfg.block_groups, interpret=interpret)
-        else:
-            raybuf_idx = raymarch.march_jit(*args, jnp.float32(dims[1]), cam_y,
-                                            **common)
-        raybuf_argb = raymarch.resolve_colors(raybuf_idx, self._colors)
+        R = self.ray_capacity
+        n_rays = sum(s.ray_count for s in segs)
+        if n_rays > R:
+            raise ValueError(f"{n_rays} rays exceed capacity {R}")
+        fp = device_init.build_frame_params(cam_data, segs, ctxs)
 
         n_td = segs[0].ray_count + segs[1].ray_count
         tables = reproject.reproject_tables(segs, ctxs, vp_screen, n_td)
-        screen = reproject.reproject(
-            raybuf_argb, jnp.asarray(tables["tri_a"]), jnp.asarray(tables["tri_b"]),
+
+        interpret = cfg.pallas_interpret or jax.default_backend() == "cpu"
+        screen, argb = _frame_fn(
+            self._wa, fp,
+            jnp.asarray(tables["tri_a"]), jnp.asarray(tables["tri_b"]),
             jnp.asarray(tables["tri_c"]), jnp.asarray(tables["ray_count"]),
             jnp.asarray(tables["ray_base"]), jnp.asarray(tables["active"]),
-            width=cfg.width, height=cfg.height)
+            backend=cfg.backend, interpret=interpret,
+            iteration_direction=(
+                -1 if cam_data.inverse_element_iteration_direction else 1),
+            chunk=cfg.chunk_steps, max_chunks=cfg.max_march_chunks,
+            max_runs=self.device_world.max_runs, dims=dims,
+            pixel_len=max(cfg.width, cfg.height), width=cfg.width,
+            height=cfg.height, R=R)
+        return screen, argb, (segs, ctxs, vp_screen, cam_data, cam)
+
+    def render(self, cam: cm.Camera, return_raybuffers: bool = False):
+        """Render one frame; returns (H, W) uint32 ARGB numpy (row 0 = bottom)."""
+        screen, argb, (segs, ctxs, vp_screen, cam_data, cam) = \
+            self.render_device(cam)
         if return_raybuffers:
+            cfg = self.config
+            n_td = segs[0].ray_count + segs[1].ray_count
             n_lr = segs[2].ray_count + segs[3].ray_count
-            td = np.asarray(raybuf_argb)[:n_td, :cfg.height]
-            lr = np.asarray(raybuf_argb)[n_td:n_td + n_lr, :cfg.width]
-            return np.asarray(screen), (td, lr, segs, ctxs, vp_screen, cam_data, cam)
+            argb_np = np.asarray(argb)
+            td = argb_np[:n_td, :cfg.height]
+            lr = argb_np[n_td:n_td + n_lr, :cfg.width]
+            return np.asarray(screen), (td, lr, segs, ctxs, vp_screen, cam_data,
+                                        cam)
         return np.asarray(screen)
 
 
