@@ -1,0 +1,118 @@
+"""Batched multi-camera rendering — RL-environment rollout mode
+(BASELINE.json config 5: "batched 64-camera 256x256 renders per step, one kernel
+launch").
+
+Because the march is ray-agnostic, a camera batch is simply MORE rays: every camera
+contributes a fixed-capacity contiguous ray block, per-ray camera data (position,
+projection planes) comes from the vmapped device init, and one phase-1 launch marches
+all cameras' rays together.  Phase 2 reprojects per camera via vmap.  Cameras split
+into at most two launches by march iteration direction (camera pitch sign — the
+reference's two kernel specializations, DrawSegmentRayJob.cs:170-192).
+
+Under a device mesh, sharding the ray axis shards whole cameras (blocks are
+contiguous), giving data-parallel rollouts with zero communication until the final
+(optional) gather.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpuvox_tpu.render import camera as cm
+from cpuvox_tpu.render import device_init, raymarch, reproject
+from cpuvox_tpu.render import segments as sg
+
+F = np.float32
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("backend", "interpret", "iteration_direction", "chunk",
+                     "max_chunks", "max_runs", "dims", "pixel_len", "width",
+                     "height", "R1"))
+def _batch_frame_fn(wa, fp_b, tri_a, tri_b, tri_c, ray_count, ray_base, active,
+                    backend, interpret, iteration_direction, chunk, max_chunks,
+                    max_runs, dims, pixel_len, width, height, R1):
+    B = fp_b.cam_pos.shape[0]
+
+    static_b, dda_b, alive_b = jax.vmap(
+        lambda fp: device_init.init_rays_device(fp, dims, R1))(fp_b)
+
+    flat = lambda x: x.reshape((B * R1,) + x.shape[2:])
+    static = jax.tree_util.tree_map(flat, static_b)
+    dda = jax.tree_util.tree_map(flat, dda_b)
+    alive0 = flat(alive_b)
+    cam_y = flat(jnp.broadcast_to(fp_b.cam_pos[:, 1:2], (B, R1)))
+
+    common = dict(iteration_direction=iteration_direction, chunk=chunk,
+                  max_chunks=max_chunks, max_runs=max_runs, dims=dims,
+                  pixel_len=pixel_len)
+    # lod distances / far clip are shared (same world + resolution for the batch)
+    lodd = fp_b.lod_distances[0]
+    farc = fp_b.far_clip[0]
+    if backend == "pallas":
+        raybuf_idx = raymarch.phase1_pallas(
+            wa, static, dda, alive0, lodd, farc, float(dims[1]), cam_y,
+            **common, interpret=interpret)
+    else:
+        raybuf_idx = raymarch.phase1(
+            wa, static, dda, alive0, lodd, farc, jnp.float32(dims[1]), cam_y,
+            **common)
+    argb = raymarch.resolve_colors(raybuf_idx, wa.colors)
+    argb_b = argb.reshape(B, R1, -1)
+
+    screens = jax.vmap(
+        lambda a, ta, tb, tc, rc, rb, ac: reproject.reproject.__wrapped__(
+            a, ta, tb, tc, rc, rb, ac, width=width, height=height)
+    )(argb_b, tri_a, tri_b, tri_c, ray_count, ray_base, active)
+    return screens
+
+
+def render_camera_batch(renderer, cams: list[cm.Camera]):
+    """Render a batch of cameras in (at most two) launches.
+
+    Returns a (B, H, W) uint32 device array in the input camera order.
+    """
+    cfg = renderer.config
+    dims = renderer.device_world.dims
+    quantum = 1024 if cfg.backend == "pallas" else 128
+    R1 = ((3 * (cfg.width + cfg.height) + quantum - 1) // quantum) * quantum
+
+    prepared = []
+    for i, cam in enumerate(cams):
+        cam, cam_data = renderer.setup_camera(cam)
+        vps = cm.vanishing_point_screen(cam, cm.vanishing_point_world(cam))
+        segs = sg.build_segments(cam, vps)
+        ctxs = sg.build_segment_contexts(cam, segs, vps)
+        fp = device_init.build_frame_params(cam_data, segs, ctxs)
+        n_td = segs[0].ray_count + segs[1].ray_count
+        tables = reproject.reproject_tables(segs, ctxs, vps, n_td)
+        direction = -1 if cam_data.inverse_element_iteration_direction else 1
+        prepared.append((i, direction, fp, tables))
+
+    H, W = cfg.height, cfg.width
+    out = [None] * len(cams)
+    for direction in (1, -1):
+        group = [p for p in prepared if p[1] == direction]
+        if not group:
+            continue
+        fp_b = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *(p[2] for p in group))
+        tb = {k: jnp.asarray(np.stack([p[3][k] for p in group]))
+              for k in ("tri_a", "tri_b", "tri_c", "ray_count", "ray_base",
+                        "active")}
+        interpret = cfg.pallas_interpret or jax.default_backend() == "cpu"
+        screens = _batch_frame_fn(
+            renderer._wa, fp_b, tb["tri_a"], tb["tri_b"], tb["tri_c"],
+            tb["ray_count"], tb["ray_base"], tb["active"],
+            backend=cfg.backend, interpret=interpret,
+            iteration_direction=direction, chunk=cfg.chunk_steps,
+            max_chunks=cfg.max_march_chunks,
+            max_runs=renderer.device_world.max_runs, dims=dims,
+            pixel_len=max(W, H), width=W, height=H, R1=R1)
+        for j, p in enumerate(group):
+            out[p[0]] = screens[j]
+    return jnp.stack(out)

@@ -1,0 +1,27 @@
+"""Batched multi-camera rendering vs per-camera rendering."""
+import numpy as np
+
+import scenes
+from cpuvox_tpu.config import RenderConfig
+from cpuvox_tpu.parallel.batch import render_camera_batch
+from cpuvox_tpu.render import camera as cm
+from cpuvox_tpu.render.frame import Renderer
+
+
+def test_batch_matches_individual():
+    w = scenes.random_world(n=300, seed=5)
+    lods = [w] * 6
+    cfg = RenderConfig(width=64, height=48, chunk_steps=8, max_march_chunks=48,
+                       backend="xla")
+    r = Renderer.create(lods, cfg)
+    cams = [
+        cm.Camera(position=(8, 10, 8), pitch_deg=25.0, yaw_deg=70.0),
+        cm.Camera(position=(4, 6, 3), pitch_deg=10.0, yaw_deg=200.0),
+        cm.Camera(position=(8, 6, 8), pitch_deg=-15.0, yaw_deg=30.0),  # looks up
+        cm.Camera(position=(12, 9, 12), pitch_deg=45.0, yaw_deg=310.0),
+    ]
+    batch = np.asarray(render_camera_batch(r, cams))
+    assert batch.shape == (4, 48, 64)
+    for i, cam in enumerate(cams):
+        single = r.render(cam)
+        assert np.array_equal(batch[i], single), f"camera {i} differs"
