@@ -93,7 +93,7 @@ def main():
         rad = 0.9 * max(dims[0], dims[2])
         pos = (dims[0] / 2 + rad * np.sin(np.deg2rad(ang)), dims[1] * 0.8,
                dims[2] / 2 - rad * np.cos(np.deg2rad(ang)))
-        return cm.Camera(position=pos, pitch_deg=25.0, yaw_deg=ang + 180.0,
+        return cm.Camera(position=pos, pitch_deg=25.0, yaw_deg=ang,
                          screen=(w, h))
 
     for i in range(args.frames):
