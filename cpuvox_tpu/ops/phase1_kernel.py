@@ -43,15 +43,28 @@ def _shift_left_one(lod):
 def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
     WMY = float(world_max_y)  # python scalar (weak-typed)
 
+    # scan tile height: bigger tiles = fewer loop iterations (each while-loop
+    # iteration pays a vector->scalar reduction for the continue test)
+    ST = 32 if P >= 64 else 8
+
     def scan_next_unwritten(raybuf_ref, g, c_start, pred):
         """First row >= c_start with raybuf[g, row, lane] unwritten; (1,128) in/out.
 
         Exact equivalent of `while (seen[nfp]) nfp++` (DrawSegmentRayJob.cs:678-680):
         rows above the segment range are never written, so the scan always terminates
         at the true first-unwritten row (or BIG when c_start is past the end).
+        Structure: an unrolled 2-tile window with no continue test (covers the common
+        case — frontiers advance locally) + a residual loop for stragglers.
         """
         start = jnp.min(jnp.where(pred, c_start, P))
-        start = jnp.maximum(start, 0) & -8
+        start = jnp.clip(start, 0, max(P - ST, 0)) & -8
+
+        def probe(w, found):
+            tile = raybuf_ref[g, pl.ds(jnp.minimum(w, P - ST), ST), :]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (ST, 128), 0) \
+                + jnp.minimum(w, P - ST)
+            cand = jnp.where((tile < 0) & (rows >= c_start), rows, BIG)
+            return jnp.minimum(found, jnp.min(cand, axis=0, keepdims=True))
 
         def cond(st):
             w, found = st
@@ -59,11 +72,7 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
 
         def body(st):
             w, found = st
-            tile = raybuf_ref[g, pl.ds(w, 8), :]
-            rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) + w
-            cand = jnp.where((tile < 0) & (rows >= c_start), rows, BIG)
-            tmin = jnp.min(cand, axis=0, keepdims=True)
-            return (w + 8, jnp.minimum(found, tmin))
+            return (w + ST, probe(w, found))
 
         _, found = jax.lax.while_loop(
             cond, body, (start, jnp.full((1, 128), BIG, jnp.int32)))
@@ -73,7 +82,14 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
         """Last row <= c_start with raybuf unwritten (seen-scan downward,
         DrawSegmentRayJob.cs:690-692)."""
         start = jnp.max(jnp.where(pred, c_start, 0))
-        start = jnp.clip(start, 0, P - 1) & -8
+        start = jnp.clip(start - (ST - 8), 0, max(P - ST, 0)) & -8
+
+        def probe(w, found):
+            w = jnp.maximum(w, 0)
+            tile = raybuf_ref[g, pl.ds(w, ST), :]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (ST, 128), 0) + w
+            cand = jnp.where((tile < 0) & (rows <= c_start), rows, -BIG)
+            return jnp.maximum(found, jnp.max(cand, axis=0, keepdims=True))
 
         def cond(st):
             w, found = st
@@ -81,11 +97,7 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
 
         def body(st):
             w, found = st
-            tile = raybuf_ref[g, pl.ds(w, 8), :]
-            rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) + w
-            cand = jnp.where((tile < 0) & (rows <= c_start), rows, -BIG)
-            tmax = jnp.max(cand, axis=0, keepdims=True)
-            return (w - 8, jnp.maximum(found, tmax))
+            return (w - ST, probe(w, found))
 
         _, found = jax.lax.while_loop(
             cond, body, (start, jnp.full((1, 128), -BIG, jnp.int32)))

@@ -61,14 +61,13 @@ def _batch_frame_fn(wa, fp_b, tri_a, tri_b, tri_c, ray_count, ray_base, active,
         raybuf_idx = raymarch.phase1(
             wa, static, dda, alive0, lodd, farc, jnp.float32(dims[1]), cam_y,
             **common)
-    argb = raymarch.resolve_colors(raybuf_idx, wa.colors)
-    argb_b = argb.reshape(B, R1, -1)
-
-    screens = jax.vmap(
+    idx_b = raybuf_idx.reshape(B, R1, -1)
+    screens_idx = jax.vmap(
         lambda a, ta, tb, tc, rc, rb, ac: reproject.reproject.__wrapped__(
-            a, ta, tb, tc, rc, rb, ac, width=width, height=height)
-    )(argb_b, tri_a, tri_b, tri_c, ray_count, ray_base, active)
-    return screens
+            a, ta, tb, tc, rc, rb, ac, width=width, height=height,
+            skybox=jnp.int32(0))
+    )(idx_b, tri_a, tri_b, tri_c, ray_count, ray_base, active)
+    return raymarch.resolve_colors(screens_idx, wa.colors)
 
 
 def render_camera_batch(renderer, cams: list[cm.Camera]):

@@ -22,22 +22,48 @@ from cpuvox_tpu.utils.colors import SKYBOX
 from cpuvox_tpu.world.rle import WorldLOD
 
 
+REC = 8  # ints per column record (32 B — one aligned gather row per column fetch)
+
+
 @dataclasses.dataclass
 class DeviceWorld:
-    """Flat world arrays (numpy on host; pass through jnp.asarray / device_put)."""
+    """Flat world arrays (numpy on host; pass through jnp.asarray / device_put).
+
+    Column metadata is packed into one (total_cols, 8) int32 record —
+    [n_runs, run_offset, color_offset, world_min, world_max, pad...] — so a column
+    fetch is a single 32-byte gather row (TPU gathers cost per-row, not per-byte;
+    this is the same locality argument as the reference's RLEColumn header struct,
+    World.cs:161-173).  ``runs_rev`` stores every column's runs reversed in place so
+    the upward-iteration camera path (DrawSegmentRayJob.cs:432-437) is also a
+    contiguous slice-gather.
+    """
 
     dims: tuple[int, int, int]
     lod_levels: int
     col_base: np.ndarray  # int32 [8]
     grid_z: np.ndarray  # int32 [8]  (Z >> lod per level)
-    col_offset: np.ndarray  # int32 [total_cols] -> runs_concat
-    col_runs: np.ndarray  # int32 [total_cols]
-    col_color_offset: np.ndarray  # int32 [total_cols] -> colors_concat (skybox-shifted)
-    col_min: np.ndarray  # int32 [total_cols]
-    col_max: np.ndarray  # int32 [total_cols]
+    col_rec: np.ndarray  # int32 [total_cols, REC]
     runs: np.ndarray  # int32 [total_runs]
+    runs_rev: np.ndarray  # int32 [total_runs] (per-column reversed order)
     colors: np.ndarray  # uint32 [1 + total_colors], [0] = skybox
     max_runs: int  # max col_runs over every LOD (bounds the kernel's run loop)
+
+
+def reverse_runs(runs: np.ndarray, col_offset: np.ndarray, col_runs: np.ndarray
+                 ) -> np.ndarray:
+    """Per-column reversed copy of the packed runs array (same offsets)."""
+    n = runs.shape[0]
+    occupied = np.nonzero(col_runs > 0)[0]
+    starts = col_offset[occupied].astype(np.int64)
+    counts = col_runs[occupied].astype(np.int64)
+    # index i within column -> start + (count - 1 - (i - start))
+    idx = np.arange(n, dtype=np.int64)
+    col_of = np.zeros(n, np.int64)
+    col_of[starts] = 1
+    col_of = np.cumsum(col_of) - 1
+    s = starts[col_of]
+    c = counts[col_of]
+    return runs[s + (c - 1) - (idx - s)]
 
 
 def build_device_world(lods: list[WorldLOD]) -> DeviceWorld:
@@ -63,17 +89,28 @@ def build_device_world(lods: list[WorldLOD]) -> DeviceWorld:
     col_base[lod_levels:] = col_base[lod_levels - 1]  # clamp overflow lods
     grid_z[lod_levels:] = grid_z[lod_levels - 1]
     max_runs = int(max((int(w.col_runs.max()) if w.col_runs.size else 0) for w in lods))
+
+    co = np.concatenate(col_offset).astype(np.int32)
+    cr = np.concatenate(col_runs).astype(np.int32)
+    runs = np.concatenate(runs_parts).astype(np.int32)
+    n_cols = co.shape[0]
+    rec = np.zeros((n_cols, REC), np.int32)
+    rec[:, 0] = cr
+    rec[:, 1] = co
+    rec[:, 2] = np.concatenate(col_cols).astype(np.int32)
+    rec[:, 3] = np.concatenate(col_min).astype(np.int32)
+    rec[:, 4] = np.concatenate(col_max).astype(np.int32)
+
+    max_runs = max(max_runs, 1)
+    pad = np.zeros(max_runs, np.int32)  # tail pad: slice-gathers never clamp/shift
     return DeviceWorld(
         dims=lods[0].dims,
         lod_levels=lod_levels,
         col_base=col_base,
         grid_z=grid_z,
-        col_offset=np.concatenate(col_offset).astype(np.int32),
-        col_runs=np.concatenate(col_runs).astype(np.int32),
-        col_color_offset=np.concatenate(col_cols).astype(np.int32),
-        col_min=np.concatenate(col_min).astype(np.int32),
-        col_max=np.concatenate(col_max).astype(np.int32),
-        runs=np.concatenate(runs_parts).astype(np.int32),
+        col_rec=rec,
+        runs=np.concatenate([runs, pad]),
+        runs_rev=np.concatenate([reverse_runs(runs, co, cr), pad]),
         colors=np.concatenate([[SKYBOX], *colors_parts]).astype(np.uint32),
-        max_runs=max(max_runs, 1),
+        max_runs=max_runs,
     )

@@ -47,11 +47,13 @@ def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
         raybuf_idx = raymarch.phase1(
             wa, static, dda, alive0, fp.lod_distances, fp.far_clip,
             jnp.float32(dims[1]), fp.cam_pos[1], **common)
-    argb = raymarch.resolve_colors(raybuf_idx, wa.colors)
-    screen = reproject.reproject.__wrapped__(
-        argb, tri_a, tri_b, tri_c, ray_count, ray_base, active,
-        width=width, height=height)
-    return screen, argb
+    # reproject in color-INDEX space first, then resolve only the screen's 2M
+    # pixels — resolving the whole raybuffer would be an ~18M-row gather
+    screen_idx = reproject.reproject.__wrapped__(
+        raybuf_idx, tri_a, tri_b, tri_c, ray_count, ray_base, active,
+        width=width, height=height, skybox=jnp.int32(0))
+    screen = raymarch.resolve_colors(screen_idx, wa.colors)
+    return screen, raybuf_idx
 
 
 @dataclasses.dataclass
@@ -95,7 +97,8 @@ class Renderer:
     def render_device(self, cam: cm.Camera):
         """Render one frame fully on device.
 
-        Returns (screen (H, W) uint32 device array, raybuf_argb, frame geometry).
+        Returns (screen (H, W) uint32 device array, raybuf color-index array,
+        frame geometry).
         """
         cfg = self.config
         cam, cam_data = self.setup_camera(cam)
@@ -132,13 +135,14 @@ class Renderer:
 
     def render(self, cam: cm.Camera, return_raybuffers: bool = False):
         """Render one frame; returns (H, W) uint32 ARGB numpy (row 0 = bottom)."""
-        screen, argb, (segs, ctxs, vp_screen, cam_data, cam) = \
+        screen, raybuf_idx, (segs, ctxs, vp_screen, cam_data, cam) = \
             self.render_device(cam)
         if return_raybuffers:
             cfg = self.config
             n_td = segs[0].ray_count + segs[1].ray_count
             n_lr = segs[2].ray_count + segs[3].ray_count
-            argb_np = np.asarray(argb)
+            argb_np = np.asarray(
+                raymarch.resolve_colors(raybuf_idx, self._wa.colors))
             td = argb_np[:n_td, :cfg.height]
             lr = argb_np[n_td:n_td + n_lr, :cfg.width]
             return np.asarray(screen), (td, lr, segs, ctxs, vp_screen, cam_data,

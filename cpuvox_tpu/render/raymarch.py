@@ -76,13 +76,31 @@ class RasterState(NamedTuple):
 class WorldArrays(NamedTuple):
     col_base: jnp.ndarray
     grid_z: jnp.ndarray
-    col_offset: jnp.ndarray
-    col_runs: jnp.ndarray
-    col_color_offset: jnp.ndarray
-    col_min: jnp.ndarray
-    col_max: jnp.ndarray
+    col_rec: jnp.ndarray  # (total_cols, 8): n_runs, run_off, color_off, cmin, cmax
     runs: jnp.ndarray
+    runs_rev: jnp.ndarray
     colors: jnp.ndarray
+
+
+def _fetch_columns(wa: WorldArrays, ci, v_valid, iteration_direction, max_runs):
+    """One record gather + one slice-gather per visited cell.
+
+    TPU gathers cost per gathered *row*, so the 5 metadata fields ride in a single
+    (8,) int32 record row and the runs come as one contiguous MAXR-slice (from the
+    pre-reversed array for the upward iteration direction).
+    """
+    rec = wa.col_rec[ci]  # (..., 8)
+    n_runs = jnp.where(v_valid, rec[..., 0], 0)
+    run_off = rec[..., 1]
+    color_off = rec[..., 2]
+    cmin = rec[..., 3]
+    cmax = rec[..., 4]
+    runs_src = wa.runs if iteration_direction > 0 else wa.runs_rev
+    flat_off = run_off.ravel()
+    runs_k = jax.vmap(
+        lambda o: jax.lax.dynamic_slice(runs_src, (o,), (max_runs,)))(flat_off)
+    runs_k = runs_k.reshape(run_off.shape + (max_runs,))
+    return n_runs, run_off, color_off, cmin, cmax, runs_k
 
 
 def world_arrays(dw: DeviceWorld) -> WorldArrays:
@@ -542,8 +560,8 @@ def _rasterize_step(rs: RasterState, inputs, wa: WorldArrays, static: RayStatic,
 
     def run_body(k, carry):
         rs, eb_min, eb_max, run_done, process = carry
-        run = runs_k[:, k] if iteration_direction > 0 else runs_k[
-            jnp.arange(runs_k.shape[0]), jnp.maximum(n_runs - 1 - k, 0)]
+        # runs arrive pre-ordered for the iteration direction (runs_rev for dir<0)
+        run = runs_k[:, k]
         length = run & 0xFFFF
         cidx = run >> 16
         is_air = run < 0
@@ -683,14 +701,8 @@ def march(
               + (v_pos[:, :, 0] >> v_lod) * wa.grid_z[lodc]
               + (v_pos[:, :, 1] >> v_lod))
         ci = jnp.where(v_valid, ci, 0)
-        n_runs = jnp.where(v_valid, wa.col_runs[ci], 0)
-        run_off = wa.col_offset[ci]
-        color_off = wa.col_color_offset[ci]
-        cmin = wa.col_min[ci]
-        cmax = wa.col_max[ci]
-        idx = jnp.clip(run_off[..., None] + jnp.arange(max_runs), 0,
-                       wa.runs.shape[0] - 1)
-        runs_k = wa.runs[idx]  # (C, R, max_runs)
+        n_runs, run_off, color_off, cmin, cmax, runs_k = _fetch_columns(
+            wa, ci, v_valid, iteration_direction, max_runs)
 
         def raster_scan(rs, step_in):
             return _rasterize_step(rs, step_in, wa, static, consts,
@@ -807,16 +819,8 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
               + (v_pos[:, :, 0] >> v_lod) * wa.grid_z[lodc]
               + (v_pos[:, :, 1] >> v_lod))
         ci = jnp.where(v_valid, ci, 0)
-        n_runs = jnp.where(v_valid, wa.col_runs[ci], 0)
-        run_off = wa.col_offset[ci]
-
-        ks = jnp.arange(MAXR, dtype=jnp.int32)[None, :, None]  # (1, MAXR, 1)
-        if iteration_direction > 0:
-            rel = ks
-        else:
-            rel = jnp.maximum(n_runs[:, None, :] - 1 - ks, 0)
-        idx = jnp.clip(run_off[:, None, :] + rel, 0, wa.runs.shape[0] - 1)
-        runs_k = wa.runs[idx]  # (C, MAXR, R)
+        n_runs, run_off, color_off, cmin, cmax, runs_k = _fetch_columns(
+            wa, ci, v_valid, iteration_direction, MAXR)  # runs_k: (C, R, MAXR)
 
         def to_gc(x):  # (C, R) -> (G, C, 128)
             return x.reshape(C, G, 128).transpose(1, 0, 2)
@@ -829,11 +833,11 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
         }
         meta = {
             "n_runs": to_gc(n_runs),
-            "color_off": to_gc(wa.col_color_offset[ci]),
-            "cmin": to_gc(wa.col_min[ci]),
-            "cmax": to_gc(wa.col_max[ci]),
+            "color_off": to_gc(color_off),
+            "cmin": to_gc(cmin),
+            "cmax": to_gc(cmax),
         }
-        runs_r = runs_k.reshape(C, MAXR, G, 128).transpose(2, 0, 1, 3)
+        runs_r = runs_k.reshape(C, G, 128, MAXR).transpose(1, 0, 3, 2)
 
         raybuf, state = pk.rasterize_chunk(
             visits_d, meta, runs_r, consts, raybuf, state,

@@ -60,9 +60,7 @@ def build_surface_world_arrays(spec: SurfaceWorldSpec, top, colors):
     col_base[L:] = col_base[L - 1]  # clamp overflow lods like DeviceWorld
     grid_z = np.array([max(Z >> min(i, L - 1), 1) for i in range(8)], np.int32)
 
-    offsets, runs_parts, colors_parts = [], [], []
-    col_off_parts, col_runs_parts, col_coloff_parts = [], [], []
-    col_min_parts, col_max_parts = [], []
+    runs_parts, runs_rev_parts, colors_parts, rec_parts = [], [], [], []
     run_base = 0
     color_base = 1  # colors[0] = skybox
 
@@ -81,37 +79,40 @@ def build_surface_world_arrays(spec: SurfaceWorldSpec, top, colors):
         tl = jnp.clip(top_l.reshape(n_cols), 0, h_l - 1)
         bl = jnp.maximum(tl - depth + 1, 0)
         solid = tl - bl + 1
-        air_above = (h_l - 1) - tl
-        air_below = bl
+        air_above = ((-1 << 16) | ((h_l - 1) - tl)).astype(jnp.int32)
+        air_below = ((-1 << 16) | bl).astype(jnp.int32)
+        solid_r = solid.astype(jnp.int32)  # colors_index 0
 
-        runs = jnp.stack([
-            ((-1 << 16) | air_above).astype(jnp.int32),
-            solid.astype(jnp.int32),  # colors_index 0
-            ((-1 << 16) | air_below).astype(jnp.int32),
-        ], axis=1).reshape(-1)
-        runs_parts.append(runs)
+        runs_parts.append(
+            jnp.stack([air_above, solid_r, air_below], axis=1).reshape(-1))
+        runs_rev_parts.append(
+            jnp.stack([air_below, solid_r, air_above], axis=1).reshape(-1))
         colors_parts.append(colors_l.reshape(-1))
 
-        col_off_parts.append(jnp.arange(n_cols, dtype=jnp.int32) * 3 + run_base)
-        col_runs_parts.append(jnp.full(n_cols, 3, jnp.int32))
-        col_coloff_parts.append(
-            jnp.arange(n_cols, dtype=jnp.int32) * depth + color_base)
         vs = 1 << lvl
-        col_min_parts.append((bl * vs).astype(jnp.int32))
-        col_max_parts.append(((tl + 1) * vs).astype(jnp.int32))
+        ar = jnp.arange(n_cols, dtype=jnp.int32)
+        rec = jnp.stack([
+            jnp.full(n_cols, 3, jnp.int32),
+            ar * 3 + run_base,
+            ar * depth + color_base,
+            (bl * vs).astype(jnp.int32),
+            ((tl + 1) * vs).astype(jnp.int32),
+            jnp.zeros(n_cols, jnp.int32),
+            jnp.zeros(n_cols, jnp.int32),
+            jnp.zeros(n_cols, jnp.int32),
+        ], axis=1)
+        rec_parts.append(rec)
         run_base += n_cols * 3
         color_base += n_cols * depth
 
     skybox = jnp.array([0xFF191919], jnp.uint32)
+    pad = jnp.zeros(3, jnp.int32)
     return WorldArrays(
         col_base=jnp.asarray(col_base),
         grid_z=jnp.asarray(grid_z),
-        col_offset=jnp.concatenate(col_off_parts),
-        col_runs=jnp.concatenate(col_runs_parts),
-        col_color_offset=jnp.concatenate(col_coloff_parts),
-        col_min=jnp.concatenate(col_min_parts),
-        col_max=jnp.concatenate(col_max_parts),
-        runs=jnp.concatenate(runs_parts),
+        col_rec=jnp.concatenate(rec_parts, axis=0),
+        runs=jnp.concatenate(runs_parts + [pad]),
+        runs_rev=jnp.concatenate(runs_rev_parts + [pad]),
         colors=jnp.concatenate([skybox, *colors_parts]),
     )
 

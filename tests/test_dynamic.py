@@ -15,15 +15,18 @@ def test_surface_arrays_consistent():
     spec = SurfaceWorldSpec(dims=(16, 32, 16), depth=4, lod_levels=3)
     top = jnp.full((16, 16), 10, jnp.int32)
     wa = build_surface_world_arrays(spec, top, terrain_colors(spec, top))
-    col_runs = np.asarray(wa.col_runs)
-    assert np.all(col_runs == 3)
+    rec = np.asarray(wa.col_rec)
+    assert np.all(rec[:, 0] == 3)
     runs = np.asarray(wa.runs)
     # LOD0 column 0: air above = 31-10=21, solid 4, air below = 7
     assert runs[0] == ((-1 << 16) | 21)
     assert runs[1] == 4
     assert runs[2] == ((-1 << 16) | 7)
+    runs_rev = np.asarray(wa.runs_rev)
+    assert runs_rev[0] == ((-1 << 16) | 7)
+    assert runs_rev[2] == ((-1 << 16) | 21)
     # lod bases and color offsets are consistent
-    assert np.asarray(wa.col_color_offset)[0] == 1  # skybox shift
+    assert rec[0, 2] == 1  # skybox shift
     assert np.asarray(wa.colors).shape[0] == 1 + (16 * 16 + 8 * 8 + 4 * 4) * 4
 
 
