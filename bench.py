@@ -58,6 +58,32 @@ def build_world(scene: str):
     return lods
 
 
+def verify_backends(renderer, cfg):
+    """Refuse to benchmark a fast path that diverges from the verified XLA path
+    on device (VERDICT r1 item 2): render one spot frame with both backends on
+    the CURRENT hardware (not interpret mode) and require bit-equal raybuffers."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from cpuvox_tpu.bench.path import BENCH_CLIP_LENGTH, benchmark_camera
+
+    cam = benchmark_camera(0.35 * BENCH_CLIP_LENGTH,
+                           renderer.device_world.dims, (cfg.width, cfg.height))
+    t0 = time.time()
+    _, rb_fast, _ = renderer.render_device(cam)
+    ref = dataclasses.replace(renderer,
+                              config=dataclasses.replace(cfg, backend="xla"))
+    _, rb_ref, _ = ref.render_device(cam)
+    diff = int(jnp.sum(rb_fast != rb_ref))
+    log(f"backend verify ({cfg.backend} vs xla, on-device): {diff} texels differ "
+        f"({time.time() - t0:.1f}s)")
+    if diff:
+        print(json.dumps({"metric": "BACKEND_DIVERGENCE", "value": diff,
+                          "unit": "texels", "vs_baseline": 0.0}), flush=True)
+        raise SystemExit(1)
+
+
 def main():
     scene = os.environ.get("BENCH_SCENE", "terrain2048")
     wh = os.environ.get("BENCH_WH", "1920x1080")
@@ -76,11 +102,17 @@ def main():
     from cpuvox_tpu.render.frame import Renderer
 
     lods = build_world(scene)
-    cfg = RenderConfig(width=w, height=h, chunk_steps=32, max_march_chunks=192)
+    cfg = RenderConfig(
+        width=w, height=h,
+        chunk_steps=int(os.environ.get("BENCH_CHUNK", "32")),
+        max_march_chunks=int(os.environ.get("BENCH_MAX_CHUNKS", "192")))
     t0 = time.time()
     renderer = Renderer.create(lods, cfg)
     log(f"device world uploaded in {time.time() - t0:.1f}s "
         f"(max_runs={renderer.device_world.max_runs})")
+
+    if cfg.backend != "xla" and os.environ.get("BENCH_VERIFY", "1") == "1":
+        verify_backends(renderer, cfg)
 
     metrics = run_flythrough(renderer, n_frames=n_frames, log=log)
     result = {

@@ -33,10 +33,11 @@ def run_flythrough(renderer: Renderer, n_frames: int = 24, warmup: int = 1,
         f0 = time.perf_counter()
         # device-resident frame; no per-frame host readback (the reference's frame
         # loop also never reads pixels back — the GPU presents them)
-        screen, _, _ = renderer.render_device(cam)
+        screen, _, (segs, *_rest) = renderer.render_device(cam)
         screen.block_until_ready()
         frame_times.append(time.perf_counter() - f0)
-        ray_columns += 3 * (w + h)  # worst-case padded ray count actually marched
+        # count ACTUAL segment rays (active ray columns), not the padded capacity
+        ray_columns += sum(s.ray_count for s in segs)
     total = time.perf_counter() - t_start
 
     fps = n_frames / total
