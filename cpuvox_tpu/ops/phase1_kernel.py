@@ -12,12 +12,21 @@ oracle); this kernel re-expresses the chunk rasterization with TPU-native layout
   a pixel-span write touches only ceil(span/8) (8, 128) tiles instead of a full
   (rays, P) masked update;
 - the written-pixel frontier scans (the reference's seenPixelCache while-loops,
-  DrawSegmentRayJob.cs:407-415,678-694) are bounded `lax.while_loop`s over 8-row
-  tiles that terminate as soon as every lane found its frontier — exact semantics,
-  near-constant cost;
+  DrawSegmentRayJob.cs:407-415,678-694) are replaced by CONSERVATIVE register
+  updates: after a span write [lo, hi] that covers the frontier, every pixel in
+  [nfp_min, hi] is written, so ``nfp_min = hi + 1`` is a valid (possibly slightly
+  wide) frontier; likewise the frustum re-clip advance uses ``writable_min``
+  directly.  The conservative window differs from the scanned-exact window only
+  across already-written stretches, and every span write is (a) masked by the
+  written test ``raybuf < 0`` and (b) clamped to the current window — so the
+  raybuffer OUTPUT is bit-identical to the exact-scan semantics while the hot loop
+  never reads the raybuffer for control flow (proof sketch: conservative
+  nfp_min <= exact nfp_min and all pixels between them are written at that moment;
+  culls/kills only fire later, and late culls draw extra spans whose pixels are
+  already written);
 - early-outs happen at three levels: dead lanes are masked, the per-cell run loop is
-  a while-loop that stops when every lane is done, and a chunk step whose block has
-  no work skips the run loop entirely.
+  a while-loop that stops when every lane is done, and the cell loop exits as soon
+  as every lane in the block is dead.
 
 The content-independent DDA roll and the column gathers stay in XLA (render/raymarch),
 which feeds this kernel per chunk; per-ray state is carried across chunks through
@@ -43,91 +52,26 @@ def _shift_left_one(lod):
 def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
     WMY = float(world_max_y)  # python scalar (weak-typed)
 
-    # scan tile height: bigger tiles = fewer loop iterations (each while-loop
-    # iteration pays a vector->scalar reduction for the continue test)
-    ST = 32 if P >= 64 else 8
+    def reduce_pixel_horizon(rb_min, rb_max, mask, st):
+        """ReducePixelHorizon (DrawSegmentRayJob.cs:660-697) on (BG,128) state.
 
-    def scan_next_unwritten(raybuf_ref, g, c_start, pred):
-        """First row >= c_start with raybuf[g, row, lane] unwritten; (1,128) in/out.
-
-        Exact equivalent of `while (seen[nfp]) nfp++` (DrawSegmentRayJob.cs:678-680):
-        rows above the segment range are never written, so the scan always terminates
-        at the true first-unwritten row (or BIG when c_start is past the end).
-        Structure: an unrolled 2-tile window with no continue test (covers the common
-        case — frontiers advance locally) + a residual loop for stragglers.
+        CONSERVATIVE frontier: the reference scans for the next unwritten pixel
+        past the span (:678-680,:690-692); here the span end itself is the new
+        frontier (the span is about to be fully written).  Pure register math —
+        no raybuffer reads.  Output-equivalence argument in the module docstring.
         """
-        start = jnp.min(jnp.where(pred, c_start, P))
-        start = jnp.clip(start, 0, max(P - ST, 0)) & -8
-
-        def probe(w, found):
-            tile = raybuf_ref[g, pl.ds(jnp.minimum(w, P - ST), ST), :]
-            rows = jax.lax.broadcasted_iota(jnp.int32, (ST, 128), 0) \
-                + jnp.minimum(w, P - ST)
-            cand = jnp.where((tile < 0) & (rows >= c_start), rows, BIG)
-            return jnp.minimum(found, jnp.min(cand, axis=0, keepdims=True))
-
-        def cond(st):
-            w, found = st
-            return (w < P) & jnp.any(pred & (found >= BIG))
-
-        def body(st):
-            w, found = st
-            return (w + ST, probe(w, found))
-
-        _, found = jax.lax.while_loop(
-            cond, body, (start, jnp.full((1, 128), BIG, jnp.int32)))
-        return found
-
-    def scan_prev_unwritten(raybuf_ref, g, c_start, pred):
-        """Last row <= c_start with raybuf unwritten (seen-scan downward,
-        DrawSegmentRayJob.cs:690-692)."""
-        start = jnp.max(jnp.where(pred, c_start, 0))
-        start = jnp.clip(start - (ST - 8), 0, max(P - ST, 0)) & -8
-
-        def probe(w, found):
-            w = jnp.maximum(w, 0)
-            tile = raybuf_ref[g, pl.ds(w, ST), :]
-            rows = jax.lax.broadcasted_iota(jnp.int32, (ST, 128), 0) + w
-            cand = jnp.where((tile < 0) & (rows <= c_start), rows, -BIG)
-            return jnp.maximum(found, jnp.max(cand, axis=0, keepdims=True))
-
-        def cond(st):
-            w, found = st
-            return (w >= 0) & jnp.any(pred & (found <= -BIG))
-
-        def body(st):
-            w, found = st
-            return (w - ST, probe(w, found))
-
-        _, found = jax.lax.while_loop(
-            cond, body, (start, jnp.full((1, 128), -BIG, jnp.int32)))
-        return found
-
-    def scan_all(raybuf_ref, c_start, pred, up: bool):
-        outs = []
-        for g in range(BG):
-            cs = c_start[g:g + 1]
-            pg = pred[g:g + 1]
-            outs.append(scan_next_unwritten(raybuf_ref, g, cs, pg) if up
-                        else scan_prev_unwritten(raybuf_ref, g, cs, pg))
-        return jnp.concatenate(outs, axis=0)
-
-    def reduce_pixel_horizon(raybuf_ref, rb_min, rb_max, mask, st):
-        """ReducePixelHorizon (DrawSegmentRayJob.cs:660-697) on (BG,128) state."""
         nfpmin, nfpmax, fbmin, fbmax = st
         c1 = mask & (rb_min <= nfpmin)
         rb_min2 = jnp.where(c1, nfpmin, rb_min)
         inner1 = c1 & (rb_max >= nfpmin)
-        new_min = scan_all(raybuf_ref, rb_max + 1, inner1, up=True)
-        new_min = jnp.minimum(new_min, BIG)
+        new_min = rb_max + 1
         nfpmin = jnp.where(inner1, new_min, nfpmin)
         fbmin = jnp.where(inner1, new_min.astype(jnp.float32) - 0.501, fbmin)
 
         c2 = mask & (rb_max >= nfpmax)
         rb_max2 = jnp.where(c2, nfpmax, rb_max)
         inner2 = c2 & (rb_min2 <= nfpmax)
-        new_max = scan_all(raybuf_ref, rb_min2 - 1, inner2, up=False)
-        new_max = jnp.maximum(new_max, -BIG)
+        new_max = rb_min2 - 1
         nfpmax = jnp.where(inner2, new_max, nfpmax)
         fbmax = jnp.where(inner2, new_max.astype(jnp.float32) + 0.501, fbmax)
         return rb_min2, rb_max2, (nfpmin, nfpmax, fbmin, fbmax)
@@ -340,12 +284,12 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
             process = process & ~kill_miss
             do_clip = do_clip & ~kill_miss
 
+            # conservative frustum advance (reference scans to the first unwritten
+            # pixel >= writable_min, :407-415; writable_min itself is conservative)
             adv_min = do_clip & (writable_min > nfpmin)
-            nm = scan_all(raybuf_ref, writable_min, adv_min, up=True)
-            nfpmin = jnp.where(adv_min, jnp.minimum(nm, BIG), nfpmin)
+            nfpmin = jnp.where(adv_min, writable_min, nfpmin)
             adv_max = do_clip & (writable_max < nfpmax)
-            nx = scan_all(raybuf_ref, writable_max, adv_max, up=False)
-            nfpmax = jnp.where(adv_max, jnp.maximum(nx, -BIG), nfpmax)
+            nfpmax = jnp.where(adv_max, writable_max, nfpmax)
             kill_closed = do_clip & (nfpmin > nfpmax)
             alive = alive & ~kill_closed
             process = process & ~kill_closed
@@ -442,7 +386,7 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
                 rb_max = jnp.round(rbf_hi).astype(jnp.int32)
                 overlap = side & (rb_max >= nfpmin) & (rb_min <= nfpmax)
                 rb_min2, rb_max2, (nfpmin, nfpmax, fbmin, fbmax) = \
-                    reduce_pixel_horizon(raybuf_ref, rb_min, rb_max, overlap,
+                    reduce_pixel_horizon(rb_min, rb_max, overlap,
                                          (nfpmin, nfpmax, fbmin, fbmax))
 
                 inv_span = 1.0 / (rbf_hi - rbf_lo)
@@ -499,7 +443,7 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
                 rb2_max = jnp.maximum(r2a, r2b).astype(jnp.int32)
                 overlap2 = cap & (rb2_max >= nfpmin) & (rb2_min <= nfpmax)
                 rb2_min2, rb2_max2, (nfpmin, nfpmax, fbmin, fbmax) = \
-                    reduce_pixel_horizon(raybuf_ref, rb2_min, rb2_max, overlap2,
+                    reduce_pixel_horizon(rb2_min, rb2_max, overlap2,
                                          (nfpmin, nfpmax, fbmin, fbmax))
                 cap_col = coloroff + sec_idx
 

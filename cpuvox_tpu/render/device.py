@@ -18,11 +18,13 @@ import dataclasses
 
 import numpy as np
 
-from cpuvox_tpu.utils.colors import SKYBOX
+from cpuvox_tpu.utils.colors import pack_argb
 from cpuvox_tpu.world.rle import WorldLOD
 
 
-REC = 8  # ints per column record (32 B — one aligned gather row per column fetch)
+REC = 8  # ints per split-layout column record (32 B aligned gather row)
+REC_META = 4  # leading meta ints in an inline record: n_runs, color_off, cmin, cmax
+INLINE_MAX_RUNS = 28  # inline runs into the record while 4 + max_runs <= 32 ints
 
 
 @dataclasses.dataclass
@@ -42,11 +44,17 @@ class DeviceWorld:
     lod_levels: int
     col_base: np.ndarray  # int32 [8]
     grid_z: np.ndarray  # int32 [8]  (Z >> lod per level)
-    col_rec: np.ndarray  # int32 [total_cols, REC]
-    runs: np.ndarray  # int32 [total_runs]
-    runs_rev: np.ndarray  # int32 [total_runs] (per-column reversed order)
+    col_rec: np.ndarray | None  # int32 [total_cols, REC] (split layout)
+    runs: np.ndarray | None  # int32 [total_runs] (split layout)
+    runs_rev: np.ndarray | None  # int32 [total_runs] (per-column reversed)
     colors: np.ndarray  # uint32 [1 + total_colors], [0] = skybox
     max_runs: int  # max col_runs over every LOD (bounds the kernel's run loop)
+    # inline layout (used when max_runs <= INLINE_MAX_RUNS): the whole column —
+    # meta AND its runs — rides in ONE gather row, halving the per-visited-cell
+    # gather count on the hot path.  rec_rev holds the runs pre-reversed for the
+    # upward iteration direction (DrawSegmentRayJob.cs:432-437).
+    rec_fwd: np.ndarray | None = None  # int32 [total_cols, 4 + padded max_runs]
+    rec_rev: np.ndarray | None = None
 
 
 def reverse_runs(runs: np.ndarray, col_offset: np.ndarray, col_runs: np.ndarray
@@ -66,7 +74,9 @@ def reverse_runs(runs: np.ndarray, col_offset: np.ndarray, col_runs: np.ndarray
     return runs[s + (c - 1) - (idx - s)]
 
 
-def build_device_world(lods: list[WorldLOD]) -> DeviceWorld:
+def build_device_world(lods: list[WorldLOD],
+                       skybox_rgb: tuple[int, int, int] = (25, 25, 25)
+                       ) -> DeviceWorld:
     lod_levels = len(lods)
     col_base = np.zeros(8, np.int32)
     grid_z = np.ones(8, np.int32)
@@ -103,14 +113,40 @@ def build_device_world(lods: list[WorldLOD]) -> DeviceWorld:
 
     max_runs = max(max_runs, 1)
     pad = np.zeros(max_runs, np.int32)  # tail pad: slice-gathers never clamp/shift
-    return DeviceWorld(
+    runs_fwd = np.concatenate([runs, pad])
+    runs_bwd = np.concatenate([reverse_runs(runs, co, cr), pad])
+    colors = np.concatenate(
+        [[pack_argb(*skybox_rgb)], *colors_parts]).astype(np.uint32)
+    dw = DeviceWorld(
         dims=lods[0].dims,
         lod_levels=lod_levels,
         col_base=col_base,
         grid_z=grid_z,
         col_rec=rec,
-        runs=np.concatenate([runs, pad]),
-        runs_rev=np.concatenate([reverse_runs(runs, co, cr), pad]),
-        colors=np.concatenate([[SKYBOX], *colors_parts]).astype(np.uint32),
+        runs=runs_fwd,
+        runs_rev=runs_bwd,
+        colors=colors,
         max_runs=max_runs,
     )
+    if max_runs <= INLINE_MAX_RUNS:
+        dw.rec_fwd = _inline_records(rec, runs_fwd, max_runs)
+        dw.rec_rev = _inline_records(rec, runs_bwd, max_runs)
+        dw.col_rec = dw.runs = dw.runs_rev = None
+    return dw
+
+
+def _inline_records(rec: np.ndarray, runs: np.ndarray, max_runs: int) -> np.ndarray:
+    """Pack [n_runs, color_off, cmin, cmax, run0..run_{max_runs-1}] per column into
+    one row (padded to a 32-byte multiple) so a column fetch is a single gather."""
+    n_cols = rec.shape[0]
+    rw = ((REC_META + max_runs + 7) // 8) * 8
+    out = np.zeros((n_cols, rw), np.int32)
+    out[:, 0] = rec[:, 0]
+    out[:, 1] = rec[:, 2]  # color_off
+    out[:, 2] = rec[:, 3]  # world min
+    out[:, 3] = rec[:, 4]  # world max
+    k = np.arange(max_runs, dtype=np.int64)[None, :]
+    idx = rec[:, 1].astype(np.int64)[:, None] + k  # run_offset + k (tail-padded)
+    vals = runs[np.minimum(idx, runs.shape[0] - 1)]
+    out[:, REC_META:REC_META + max_runs] = np.where(k < rec[:, 0:1], vals, 0)
+    return out

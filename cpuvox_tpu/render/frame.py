@@ -68,7 +68,7 @@ class Renderer:
 
     @classmethod
     def create(cls, lods: list[WorldLOD], config: RenderConfig = RenderConfig()):
-        dw = build_device_world(lods)
+        dw = build_device_world(lods, skybox_rgb=config.skybox_rgb)
         r = cls(device_world=dw, config=config)
         r._wa = raymarch.world_arrays(dw)
         return r

@@ -76,19 +76,37 @@ class RasterState(NamedTuple):
 class WorldArrays(NamedTuple):
     col_base: jnp.ndarray
     grid_z: jnp.ndarray
-    col_rec: jnp.ndarray  # (total_cols, 8): n_runs, run_off, color_off, cmin, cmax
-    runs: jnp.ndarray
-    runs_rev: jnp.ndarray
+    col_rec: jnp.ndarray | None  # (total_cols, 8): n_runs, run_off, color_off, ...
+    runs: jnp.ndarray | None
+    runs_rev: jnp.ndarray | None
     colors: jnp.ndarray
+    # inline layout (device.py _inline_records): meta + runs in one gather row
+    rec_fwd: jnp.ndarray | None = None
+    rec_rev: jnp.ndarray | None = None
 
 
 def _fetch_columns(wa: WorldArrays, ci, v_valid, iteration_direction, max_runs):
-    """One record gather + one slice-gather per visited cell.
+    """Fetch the visited columns' meta + runs.
 
-    TPU gathers cost per gathered *row*, so the 5 metadata fields ride in a single
-    (8,) int32 record row and the runs come as one contiguous MAXR-slice (from the
-    pre-reversed array for the upward iteration direction).
+    TPU gathers cost per gathered *row*.  With the inline record layout
+    (device.py: max_runs <= INLINE_MAX_RUNS) the whole column is ONE row —
+    [n_runs, color_off, cmin, cmax, runs...] — so a visited cell costs a single
+    gather row.  The split fallback (deep-column worlds) gathers an 8-int meta
+    record plus one contiguous MAXR run slice (pre-reversed array for the upward
+    iteration direction, DrawSegmentRayJob.cs:432-437).
     """
+    from cpuvox_tpu.render.device import REC_META
+
+    if wa.rec_fwd is not None:
+        rec_src = wa.rec_fwd if iteration_direction > 0 else wa.rec_rev
+        rec = rec_src[ci]  # (..., RW)
+        n_runs = jnp.where(v_valid, rec[..., 0], 0)
+        color_off = rec[..., 1]
+        cmin = rec[..., 2]
+        cmax = rec[..., 3]
+        runs_k = rec[..., REC_META:REC_META + max_runs]
+        return n_runs, None, color_off, cmin, cmax, runs_k
+
     rec = wa.col_rec[ci]  # (..., 8)
     n_runs = jnp.where(v_valid, rec[..., 0], 0)
     run_off = rec[..., 1]
@@ -104,7 +122,10 @@ def _fetch_columns(wa: WorldArrays, ci, v_valid, iteration_direction, max_runs):
 
 
 def world_arrays(dw: DeviceWorld) -> WorldArrays:
-    return WorldArrays(*(jnp.asarray(getattr(dw, f)) for f in WorldArrays._fields))
+    def put(x):
+        return None if x is None else jnp.asarray(x)
+
+    return WorldArrays(*(put(getattr(dw, f)) for f in WorldArrays._fields))
 
 
 # ------------------------------------------------------------------ host-side init

@@ -31,6 +31,13 @@ CASES = [
     ("floor_up", "floor", (8, 6, 8), -35.0, 10.0),
     ("tower", "tower", (8.5, 5, 2), 5.0, 0.0),
     ("random", "random", (8, 10, 8), 25.0, 70.0),
+    # adversarial: near-vertical pitch (VP far off-screen / at infinity after the
+    # horizon clamp), both iteration directions, oblique yaw (VERDICT r1 item 2)
+    ("floor_plunge", "floor", (8, 12, 8), 89.0, 30.0),
+    ("floor_zenith", "random", (8, 2, 8), -89.0, 60.0),
+    ("tower_horizon", "tower", (8.5, 5, 2), 0.0, 0.0),
+    ("random_up", "random", (8, 13, 8), -60.0, 200.0),
+    ("outside_world", "random", (-6, 9, -6), 30.0, 45.0),
 ]
 
 
