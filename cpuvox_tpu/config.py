@@ -26,6 +26,12 @@ class RenderConfig:
     lod_levels: int = 6
     lod_error: float = 1.0
 
+    # render-resolution scale: phases 1+2 run at (width, height) * render_scale
+    # through a scaled camera and the frame is upscaled (nearest) to native size
+    # on device — the reference's "fake camera" resolution keys 4/5
+    # (UnityManager.cs:35-36,57-63,179-182)
+    render_scale: float = 1.0
+
     # march bounds for the fixed-shape TPU kernels (replaces the reference's unbounded
     # per-ray `while(true)`; DrawSegmentRayJob.cs:235)
     max_march_chunks: int = 64

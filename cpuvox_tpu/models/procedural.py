@@ -121,3 +121,62 @@ def heightmap_lod0(dims=(2048, 256, 2048), seed: int = 1234,
 def heightmap_world(dims=(2048, 256, 2048), seed: int = 1234, shell_depth: int = 8,
                     lod_levels: int = 6) -> list[WorldLOD]:
     return build_lod_chain(heightmap_lod0(dims, seed, shell_depth), lod_levels)
+
+
+def layered_lod0(dims=(1024, 256, 1024), seed: int = 99, shell_depth: int = 8,
+                 n_layers: int = 12) -> WorldLOD:
+    """Multi-band world: base terrain shell + n_layers patchy floating slabs.
+
+    Columns pierce many solid/air alternations, so max_runs lands in the dozens —
+    the run-count profile of mesh-derived content like powerplant (VERDICT r1:
+    terrain's 3-run columns are the easiest case for the run loop; this scene is
+    the hard one).  Built as a voxel soup -> rle.build_lod_from_voxels.
+    """
+    from cpuvox_tpu.world.rle import build_lod_from_voxels
+
+    X, Y, Z = dims
+    xz_parts, y_parts = [], []
+
+    # base shell (same construction as heightmap_lod0)
+    h = _fbm_heights(X, Z, seed)
+    top = np.clip((h * F(Y * 0.35) + F(Y * 0.05)).astype(np.int64).ravel(),
+                  shell_depth, Y - 2)
+    bottom = np.clip(top - (shell_depth - 1), 0, None)
+    solid_len = top - bottom + 1
+    cols = np.arange(X * Z, dtype=np.int64)
+    xz_parts.append(np.repeat(cols, solid_len))
+    starts = np.cumsum(solid_len) - solid_len
+    within = np.arange(int(solid_len.sum()), dtype=np.int64) \
+        - np.repeat(starts, solid_len)
+    y_parts.append(np.repeat(top, solid_len) - within)
+
+    # floating slabs: patchy presence, fBm elevation wobble, thickness 2-3
+    for i in range(n_layers):
+        presence = _fbm_heights(X, Z, seed + 101 + i, octaves=4).ravel()
+        mask = presence > 0.55  # ~40% coverage per layer
+        if not np.any(mask):
+            continue
+        wobble = _fbm_heights(X, Z, seed + 501 + i, octaves=3).ravel()
+        base_y = int(Y * (0.30 + 0.55 * (i + 1) / (n_layers + 1)))
+        ly = np.clip(base_y + (wobble * 14).astype(np.int64) - 7, 1, Y - 2)
+        thick = 2 + (i % 2)
+        sel = cols[mask]
+        for dy in range(thick):
+            yy = np.clip(ly[mask] - dy, 0, Y - 1)
+            xz_parts.append(sel)
+            y_parts.append(yy)
+
+    xz = np.concatenate(xz_parts)
+    y = np.concatenate(y_parts)
+    t = (y.astype(F) / F(Y)).clip(0, 1)
+    noise = ((xz * 2654435761 + y * 40503) & 15).astype(F) - 8.0
+    r = np.clip(70 + t * 150 + noise, 0, 255).astype(np.uint8)
+    g = np.clip(140 - t * 40 + noise, 0, 255).astype(np.uint8)
+    b = np.clip(60 + t * 130 + noise, 0, 255).astype(np.uint8)
+    return build_lod_from_voxels(dims, 0, xz, y, (r, g, b))
+
+
+def layered_world(dims=(1024, 256, 1024), seed: int = 99, shell_depth: int = 8,
+                  n_layers: int = 12, lod_levels: int = 6) -> list[WorldLOD]:
+    return build_lod_chain(layered_lod0(dims, seed, shell_depth, n_layers),
+                           lod_levels)

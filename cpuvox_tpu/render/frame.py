@@ -31,10 +31,11 @@ F = np.float32
     jax.jit,
     static_argnames=("backend", "interpret", "iteration_direction", "chunk",
                      "max_chunks", "max_runs", "dims", "pixel_len", "width",
-                     "height", "R"))
+                     "height", "R", "out_width", "out_height"))
 def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
               backend, interpret, iteration_direction, chunk, max_chunks,
-              max_runs, dims, pixel_len, width, height, R):
+              max_runs, dims, pixel_len, width, height, R,
+              out_width=None, out_height=None):
     static, dda, alive0 = device_init.init_rays_device(fp, dims, R)
     common = dict(iteration_direction=iteration_direction, chunk=chunk,
                   max_chunks=max_chunks, max_runs=max_runs, dims=dims,
@@ -53,6 +54,13 @@ def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
         raybuf_idx, tri_a, tri_b, tri_c, ray_count, ray_base, active,
         width=width, height=height, skybox=jnp.int32(0))
     screen = raymarch.resolve_colors(screen_idx, wa.colors)
+    if out_width is not None and (out_width, out_height) != (width, height):
+        # native-size upscale of the scaled render (the reference renders through
+        # a low-res "fake camera" and lets the GPU blit stretch it,
+        # UnityManager.cs:57-63,179-182; nearest sampling like the blit shader)
+        ys = (jnp.arange(out_height, dtype=jnp.int32) * height) // out_height
+        xs = (jnp.arange(out_width, dtype=jnp.int32) * width) // out_width
+        screen = screen[ys][:, xs]
     return screen, raybuf_idx
 
 
@@ -74,19 +82,28 @@ class Renderer:
         return r
 
     @property
+    def render_wh(self) -> tuple[int, int]:
+        """Internal phase-1/2 resolution — the reference's scaled "fake camera"
+        (UnityManager.cs:35-36,57-63); output is upscaled to (width, height)."""
+        cfg = self.config
+        return (max(2, int(round(cfg.width * cfg.render_scale))),
+                max(2, int(round(cfg.height * cfg.render_scale))))
+
+    @property
     def ray_capacity(self) -> int:
         """Fixed worst-case padded ray count (RenderManager.cs:34-38 buffer sizing)
         so every camera pose shares one jit signature."""
         cfg = self.config
+        w, h = self.render_wh
         quantum = 1024 if cfg.backend == "pallas" else 128
-        return ((3 * (cfg.width + cfg.height) + quantum - 1) // quantum) * quantum
+        return ((3 * (w + h) + quantum - 1) // quantum) * quantum
 
     def setup_camera(self, cam: cm.Camera) -> tuple[cm.Camera, cm.CameraData]:
         """Per-camera LOD distances + snapshot (UnityManager.LateUpdate semantics:
         horizon clamp :193-201, SetupLods :417-458)."""
         cfg = self.config
         cam = dataclasses.replace(cam, fov_y_deg=cfg.fov_y_deg, near=cfg.near_clip,
-                                  screen=(cfg.width, cfg.height))
+                                  screen=self.render_wh)
         cam = cm.limit_rotation_horizon(cam)
         if self.lod_distances is None:
             self.lod_distances, self.far_clip = cm.setup_lods(
@@ -101,6 +118,7 @@ class Renderer:
         frame geometry).
         """
         cfg = self.config
+        rw, rh = self.render_wh
         cam, cam_data = self.setup_camera(cam)
 
         vp_world = cm.vanishing_point_world(cam)
@@ -129,8 +147,8 @@ class Renderer:
                 -1 if cam_data.inverse_element_iteration_direction else 1),
             chunk=cfg.chunk_steps, max_chunks=cfg.max_march_chunks,
             max_runs=self.device_world.max_runs, dims=dims,
-            pixel_len=max(cfg.width, cfg.height), width=cfg.width,
-            height=cfg.height, R=R)
+            pixel_len=max(rw, rh), width=rw, height=rh, R=R,
+            out_width=cfg.width, out_height=cfg.height)
         return screen, argb, (segs, ctxs, vp_screen, cam_data, cam)
 
     def render(self, cam: cm.Camera, return_raybuffers: bool = False):
@@ -143,8 +161,9 @@ class Renderer:
             n_lr = segs[2].ray_count + segs[3].ray_count
             argb_np = np.asarray(
                 raymarch.resolve_colors(raybuf_idx, self._wa.colors))
-            td = argb_np[:n_td, :cfg.height]
-            lr = argb_np[n_td:n_td + n_lr, :cfg.width]
+            rw, rh = self.render_wh
+            td = argb_np[:n_td, :rh]
+            lr = argb_np[n_td:n_td + n_lr, :rw]
             return np.asarray(screen), (td, lr, segs, ctxs, vp_screen, cam_data,
                                         cam)
         return np.asarray(screen)

@@ -78,9 +78,10 @@ def main():
 
     lods = build_world(args)
     dims = lods[0].dims
-    w = int(args.width * args.res_scale)
-    h = int(args.height * args.res_scale)
-    cfg = RenderConfig(width=w, height=h, lod_error=args.lod_error,
+    w, h = args.width, args.height
+    # reference keys 4/5: render low-res through the fake camera, display native
+    cfg = RenderConfig(width=w, height=h, render_scale=args.res_scale,
+                       lod_error=args.lod_error,
                        **({"backend": args.backend} if args.backend else {}))
     with PROFILER.scope("create-renderer"):
         renderer = Renderer.create(lods, cfg)
