@@ -5,12 +5,10 @@ DrawSegmentRayJob.cs:195-620; SURVEY.md §7 step 4).  Semantics are identical to
 XLA reference implementation in render/raymarch.py (which is bit-equal to the scalar
 oracle); this kernel re-expresses the chunk rasterization with TPU-native layout:
 
-- rays live on VPU *lanes*: a grid block owns BLOCK_GROUPS x 128 rays, every piece of
-  per-ray state is a (BLOCK_GROUPS, 128) register array;
+- rays live on VPU *lanes*: a grid block owns BG x 128 rays, every piece of per-ray
+  state is a (BG, 128) register array;
 - each ray's pixel column lives along *sublanes*: the raybuffer block is
-  (BLOCK_GROUPS, P, 128) int32 color indices resident in VMEM for the whole chunk, so
-  a pixel-span write touches only ceil(span/8) (8, 128) tiles instead of a full
-  (rays, P) masked update;
+  (BG, P, 128) int32 color indices resident in VMEM for the whole chunk;
 - the written-pixel frontier scans (the reference's seenPixelCache while-loops,
   DrawSegmentRayJob.cs:407-415,678-694) are replaced by CONSERVATIVE register
   updates: after a span write [lo, hi] that covers the frontier, every pixel in
@@ -24,9 +22,16 @@ oracle); this kernel re-expresses the chunk rasterization with TPU-native layout
   nfp_min <= exact nfp_min and all pixels between them are written at that moment;
   culls/kills only fire later, and late culls draw extra spans whose pixels are
   already written);
-- early-outs happen at three levels: dead lanes are masked, the per-cell run loop is
-  a while-loop that stops when every lane is done, and the cell loop exits as soon
-  as every lane in the block is dead.
+- pixel writes are DEFERRED AND MERGED: a cell's runs are swept in registers
+  (span geometry, frontier clamps, kill flags — the sequential semantics of
+  DrawSegmentRayJob.cs:424-611), then ONE tile walk over the union span range
+  writes all of the cell's side spans and caps for ALL BG ray groups at once.
+  Draw priority inside the walk is first-covering-span-wins in reference draw
+  order (side before cap, runs in iteration order), which is exactly what the
+  sequential written-mask produced;
+- early-outs: dead lanes are masked, deep-column worlds sweep runs in blocks of
+  RB with a lane-consensus while-loop, and the cell loop exits as soon as every
+  lane in the block is dead.
 
 The content-independent DDA roll and the column gathers stay in XLA (render/raymarch),
 which feeds this kernel per chunk; per-ray state is carried across chunks through
@@ -35,6 +40,7 @@ input/output aliasing.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = 1 << 24  # python scalar: jnp constants would be captured consts in the kernel
+RB_CAP = 4  # runs swept per register block (one merged tile walk per block)
 
 
 def _shift_left_one(lod):
@@ -51,6 +58,10 @@ def _shift_left_one(lod):
 
 def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
     WMY = float(world_max_y)  # python scalar (weak-typed)
+    RB = min(MAXR, RB_CAP)
+    # perf-bisection hook (dev only — output is WRONG with any ablation set):
+    # "nosweep" skips the run loop+walk, "nowalk" skips only the tile walk
+    ABLATE = os.environ.get("PHASE1_ABLATE", "")
 
     def reduce_pixel_horizon(rb_min, rb_max, mask, st):
         """ReducePixelHorizon (DrawSegmentRayJob.cs:660-697) on (BG,128) state.
@@ -75,42 +86,6 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
         nfpmax = jnp.where(inner2, new_max, nfpmax)
         fbmax = jnp.where(inner2, new_max.astype(jnp.float32) + 0.501, fbmax)
         return rb_min2, rb_max2, (nfpmin, nfpmax, fbmin, fbmax)
-
-    def write_span(raybuf_ref, rb_min, rb_max, mask, value_fn):
-        """Masked span write over unwritten pixels; returns wrote-any per lane.
-
-        value_fn(g, rows_f, rows_i) -> (tile_rows, 128) int32 color indices.
-        """
-        wrote = []
-        for g in range(BG):
-            m = mask[g:g + 1]
-            lo = jnp.min(jnp.where(m, rb_min[g:g + 1], BIG))
-            hi = jnp.max(jnp.where(m, rb_max[g:g + 1], -1))
-            lo = jnp.maximum(lo, 0) & -8
-            hi = jnp.minimum(hi, P - 1)
-            lo_l = rb_min[g:g + 1]
-            hi_l = rb_max[g:g + 1]
-
-            def cond(st):
-                w, _ = st
-                return w <= hi
-
-            def body(st):
-                w, wrote_g = st
-                tile = raybuf_ref[g, pl.ds(w, 8), :]
-                rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) + w
-                in_span = (rows >= lo_l) & (rows <= hi_l) & m
-                do = in_span & (tile < 0)
-                vals = value_fn(g, rows.astype(jnp.float32), rows)
-                raybuf_ref[g, pl.ds(w, 8), :] = jnp.where(do, vals, tile)
-                wrote_g = wrote_g | jnp.any(
-                    do, axis=0, keepdims=True).astype(jnp.int32)
-                return (w + 8, wrote_g)
-
-            _, wrote_g = jax.lax.while_loop(
-                cond, body, (lo, jnp.zeros((1, 128), jnp.int32)))
-            wrote.append(wrote_g)
-        return jnp.concatenate(wrote, axis=0) != 0
 
     def clip_world_bounds(pmin_p, pmin_w, pmax_p, pmax_w, fmin, fmax):
         """CameraData.GetWorldBoundsClippingCamSpace (CameraData.cs:51-121),
@@ -141,7 +116,9 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
         return clipped, min_lerp, max_lerp
 
     def kernel(
-        # per-chunk visit/meta inputs
+        # per-cell visit/meta inputs (grid dim 1 walks the chunk's cells, so each
+        # is a (BG, 1, 128) block — all reads are STATIC; no traced-index sublane
+        # slicing, and Mosaic double-buffers the per-cell DMA behind compute)
         ids0_r, ids1_r, lod_r, valid_r, nruns_r, coloroff_r, cmin_r, cmax_r,
         runs_r,
         # per-ray constants
@@ -150,48 +127,59 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
         # aliased state inputs
         raybuf_in, nfpmin_in, nfpmax_in, fbmin_in, fbmax_in, fdmin_in, fdmax_in,
         factive_in, alive_in,
-        # outputs (alias the state inputs)
+        # outputs (alias the state inputs; same VMEM block stays resident across
+        # the whole c-sweep — they double as the cell-loop state carries)
         raybuf_ref, nfpmin_o, nfpmax_o, fbmin_o, fbmax_o, fdmin_o, fdmax_o,
         factive_o, alive_o,
     ):
-        pb_p = pb_p_r[...]
-        pb_n = pb_n_r[...]
-        pb_w = pb_w_r[...]
-        pt_p = pt_p_r[...]
-        pt_n = pt_n_r[...]
-        pt_w = pt_w_r[...]
-        pd_p = pd_p_r[...]
-        pd_n = pd_n_r[...]
-        pd_w = pd_w_r[...]
-        camy = camy_r[...]
-        camyn = camyn_r[...]
+        c = pl.program_id(1)
 
-        # carry the raybuffer across: with input/output aliasing this is a self-copy
-        # (same memory); without (interpret mode) it seeds the output block
-        raybuf_ref[...] = raybuf_in[...]
+        @pl.when(c == 0)
+        def _init():
+            # seed the resident output blocks once per ray-block sweep
+            raybuf_ref[...] = raybuf_in[...]
+            nfpmin_o[...] = nfpmin_in[...]
+            nfpmax_o[...] = nfpmax_in[...]
+            fbmin_o[...] = fbmin_in[...]
+            fbmax_o[...] = fbmax_in[...]
+            fdmin_o[...] = fdmin_in[...]
+            fdmax_o[...] = fdmax_in[...]
+            factive_o[...] = factive_in[...]
+            alive_o[...] = alive_in[...]
 
-        # NOTE: loop-carried masks are int32 — Mosaic fails to legalize i1
-        # vector layouts across scf loop boundaries
-        state0 = (
-            nfpmin_in[...], nfpmax_in[...], fbmin_in[...], fbmax_in[...],
-            fdmin_in[...], fdmax_in[...], factive_in[...], alive_in[...],
-        )
+        alive_i = alive_o[...]
 
-        def step(c, state):
-            (nfpmin, nfpmax, fbmin, fbmax, fdmin, fdmax, fact_i,
-             alive_i) = state
-            fact = fact_i != 0
+        @pl.when(jnp.max(alive_i) > 0)
+        def _cell():
+            pb_p = pb_p_r[...]
+            pb_n = pb_n_r[...]
+            pb_w = pb_w_r[...]
+            pt_p = pt_p_r[...]
+            pt_n = pt_n_r[...]
+            pt_w = pt_w_r[...]
+            pd_p = pd_p_r[...]
+            pd_n = pd_n_r[...]
+            pd_w = pd_w_r[...]
+            camy = camy_r[...]
+            camyn = camyn_r[...]
+
+            nfpmin = nfpmin_o[...]
+            nfpmax = nfpmax_o[...]
+            fbmin = fbmin_o[...]
+            fbmax = fbmax_o[...]
+            fdmin = fdmin_o[...]
+            fdmax = fdmax_o[...]
+            fact = factive_o[...] != 0
             alive = alive_i != 0
-            valid = valid_r[:, c, :] != 0
-            nruns = nruns_r[:, c, :]
+            valid = valid_r[0] != 0
+            nruns = nruns_r[0]
             al = alive & valid
-            ids_l = ids0_r[:, c, :]
-            ids_n = ids1_r[:, c, :]
-            lod = lod_r[:, c, :]
-            coloroff = coloroff_r[:, c, :]
-            cmin_f = cmin_r[:, c, :].astype(jnp.float32)
-            cmax_f = cmax_r[:, c, :].astype(jnp.float32)
-            vscale_f = _shift_left_one(lod).astype(jnp.float32)
+            ids_l = ids0_r[0]
+            ids_n = ids1_r[0]
+            lod = lod_r[0]
+            coloroff = coloroff_r[0]
+            cmin_f = cmin_r[0].astype(jnp.float32)
+            cmax_f = cmax_r[0].astype(jnp.float32)
 
             nonempty = nruns > 0
             # ---- frustum-vs-column cull (DrawSegmentRayJob.cs:258-281)
@@ -294,36 +282,32 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
             alive = alive & ~kill_closed
             process = process & ~kill_closed
 
-            # ---- RLE run iteration (:424-611)
+            # ---- RLE run iteration (:424-611): sweep RB runs in registers, then
+            # ONE merged tile walk writes every span of the sweep for all groups
             if iteration_direction > 0:
                 eb_min0 = jnp.full_like(wbmin, WMY)
                 eb_max0 = jnp.full_like(wbmin, WMY)
             else:
                 eb_min0 = jnp.zeros_like(wbmin)
                 eb_max0 = jnp.zeros_like(wbmin)
-            run_done0 = jnp.zeros_like(nruns)
+            vshift = _shift_left_one(lod)
 
-            def run_cond(st):
-                k = st[0]
-                run_done = st[3] != 0
-                alive_c = st[4][7] != 0
-                return (k < MAXR) & jnp.any(
-                    process & alive_c & (k < nruns) & ~run_done)
-
-            def run_body(st):
-                k, eb_min, eb_max, run_done_i, state_in = st
+            def sweep_one(k, st):
+                """Register-only semantics of one run (side span + cap):
+                geometry, frontier clamps, kill flags; returns draw params.
+                Mask entries of st ride as int32 (Mosaic can't legalize i1
+                vector layouts across scf loop carries)."""
+                (eb_min, eb_max, run_done_i, nfpmin, nfpmax, fbmin, fbmax,
+                 alive_i) = st
                 run_done = run_done_i != 0
-                (nfpmin, nfpmax, fbmin, fbmax, fdmin, fdmax, fact_i,
-                 alive_i) = state_in
-                fact = fact_i != 0
                 alive = alive_i != 0
-                run = runs_r[:, c, k, :]
+                run = runs_r[0, k]
                 length = run & 0xFFFF
                 cidx = run >> 16
                 is_air = run < 0
                 k_valid = process & alive & (k < nruns) & ~run_done
 
-                len_s = (length * _shift_left_one(lod)).astype(jnp.float32)
+                len_s = (length * vshift).astype(jnp.float32)
                 if iteration_direction > 0:
                     eb_max_n = eb_min
                     eb_min_n = eb_min - len_s
@@ -388,24 +372,6 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
                 rb_min2, rb_max2, (nfpmin, nfpmax, fbmin, fbmax) = \
                     reduce_pixel_horizon(rb_min, rb_max, overlap,
                                          (nfpmin, nfpmax, fbmin, fbmax))
-
-                inv_span = 1.0 / (rbf_hi - rbf_lo)
-                base_col = coloroff + cidx
-                len_m1 = length - 1
-
-                def side_values(g, rows_f, rows_i):
-                    l = (rows_f - rbf_lo[g:g + 1]) * inv_span[g:g + 1]
-                    wu0 = uvlo0[g:g + 1] + (uvhi0[g:g + 1] - uvlo0[g:g + 1]) * l
-                    wu1 = uvlo1[g:g + 1] + (uvhi1[g:g + 1] - uvlo1[g:g + 1]) * l
-                    u = wu1 / wu0
-                    iu = jnp.where(jnp.isnan(u), 0,
-                                   jnp.floor(u).astype(jnp.int32))
-                    cl = jnp.clip(iu, 0, len_m1[g:g + 1])
-                    return base_col[g:g + 1] + cl
-
-                wrote = write_span(raybuf_ref, rb_min2, rb_max2, overlap,
-                                   side_values)
-                fact = fact & ~wrote
                 killed = overlap & (nfpmin > nfpmax)
                 alive = alive & ~killed
 
@@ -445,38 +411,128 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
                 rb2_min2, rb2_max2, (nfpmin, nfpmax, fbmin, fbmax) = \
                     reduce_pixel_horizon(rb2_min, rb2_max, overlap2,
                                          (nfpmin, nfpmax, fbmin, fbmax))
-                cap_col = coloroff + sec_idx
-
-                def cap_values(g, rows_f, rows_i):
-                    return jnp.broadcast_to(cap_col[g:g + 1], rows_i.shape)
-
-                wrote2 = write_span(raybuf_ref, rb2_min2, rb2_max2, overlap2,
-                                    cap_values)
-                fact = fact & ~wrote2
                 killed2 = overlap2 & (nfpmin > nfpmax)
                 alive = alive & ~killed2
 
-                return (k + 1, eb_min, eb_max, run_done.astype(jnp.int32),
-                        (nfpmin, nfpmax, fbmin, fbmax, fdmin, fdmax,
-                         fact.astype(jnp.int32), alive.astype(jnp.int32)))
+                params = dict(
+                    overlap=overlap, rb_min=rb_min2, rb_max=rb_max2,
+                    rbf_lo=rbf_lo, inv_span=1.0 / (rbf_hi - rbf_lo),
+                    uvlo0=uvlo0, uvlo1=uvlo1, uvhi0=uvhi0, uvhi1=uvhi1,
+                    base_col=coloroff + cidx, len_m1=length - 1,
+                    overlap2=overlap2, rb2_min=rb2_min2, rb2_max=rb2_max2,
+                    cap_col=coloroff + sec_idx,
+                )
+                return (eb_min, eb_max, run_done.astype(jnp.int32), nfpmin,
+                        nfpmax, fbmin, fbmax, alive.astype(jnp.int32)), params
 
-            _, _, _, _, state_out = jax.lax.while_loop(
-                run_cond, run_body,
-                (0, eb_min0, eb_max0, run_done0,
-                 (nfpmin, nfpmax, fbmin, fbmax, fdmin, fdmax,
-                  fact.astype(jnp.int32), alive.astype(jnp.int32))))
-            return state_out
+            def merged_walk(slots, wrote):
+                """ONE tile walk writing every span of the sweep, all BG groups
+                at once.  First-covering-wins in reference draw order replaces
+                the sequential written-mask exactly (writes never overwrite)."""
+                if ABLATE == "nowalk":
+                    return wrote
+                # vector-combine all slot bounds first: exactly TWO
+                # vector->scalar reductions per walk
+                lo_v = jnp.full((BG, 128), BIG, jnp.int32)
+                hi_v = jnp.full((BG, 128), -1, jnp.int32)
+                for prm in slots:
+                    lo_v = jnp.minimum(lo_v, jnp.where(
+                        prm["overlap"], prm["rb_min"], BIG))
+                    hi_v = jnp.maximum(hi_v, jnp.where(
+                        prm["overlap"], prm["rb_max"], -1))
+                    lo_v = jnp.minimum(lo_v, jnp.where(
+                        prm["overlap2"], prm["rb2_min"], BIG))
+                    hi_v = jnp.maximum(hi_v, jnp.where(
+                        prm["overlap2"], prm["rb2_max"], -1))
+                lo = jnp.maximum(jnp.min(lo_v), 0) & -8
+                hi = jnp.minimum(jnp.max(hi_v), P - 1)
 
-        state = jax.lax.fori_loop(0, C, step, state0)
-        nfpmin, nfpmax, fbmin, fbmax, fdmin, fdmax, fact, alive = state
-        nfpmin_o[...] = nfpmin
-        nfpmax_o[...] = nfpmax
-        fbmin_o[...] = fbmin
-        fbmax_o[...] = fbmax
-        fdmin_o[...] = fdmin
-        fdmax_o[...] = fdmax
-        factive_o[...] = fact
-        alive_o[...] = alive
+                def wcond(st):
+                    w, _ = st
+                    return w <= hi
+
+                def wbody(st):
+                    w, wrote = st
+                    tile = raybuf_ref[:, pl.ds(w, 8), :]  # (BG, 8, 128)
+                    rows_i = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                              + w)[None]
+                    rows_f = rows_i.astype(jnp.float32)
+                    chosen = jnp.zeros_like(tile)
+                    claimed = jnp.zeros(tile.shape, jnp.bool_)
+                    for prm in slots:
+                        e = lambda x: prm[x][:, None, :]
+                        in_s = ((rows_i >= e("rb_min")) & (rows_i <= e("rb_max"))
+                                & e("overlap"))
+                        l = (rows_f - e("rbf_lo")) * e("inv_span")
+                        wu0 = e("uvlo0") + (e("uvhi0") - e("uvlo0")) * l
+                        wu1 = e("uvlo1") + (e("uvhi1") - e("uvlo1")) * l
+                        u = wu1 / wu0
+                        iu = jnp.where(jnp.isnan(u), 0,
+                                       jnp.floor(u).astype(jnp.int32))
+                        val = e("base_col") + jnp.clip(iu, 0, e("len_m1"))
+                        chosen = jnp.where(in_s & ~claimed, val, chosen)
+                        claimed = claimed | in_s
+                        in_c = ((rows_i >= e("rb2_min"))
+                                & (rows_i <= e("rb2_max")) & e("overlap2"))
+                        chosen = jnp.where(
+                            in_c & ~claimed,
+                            jnp.broadcast_to(e("cap_col"), tile.shape), chosen)
+                        claimed = claimed | in_c
+                    do = claimed & (tile < 0)
+                    raybuf_ref[:, pl.ds(w, 8), :] = jnp.where(do, chosen, tile)
+                    wrote = wrote | jnp.any(do, axis=1).astype(jnp.int32)
+                    return (w + 8, wrote)
+
+                _, wrote = jax.lax.while_loop(wcond, wbody, (lo, wrote))
+                return wrote
+
+            run_done0 = jnp.zeros((BG, 128), jnp.int32)
+            wrote0 = jnp.zeros((BG, 128), jnp.int32)
+            sweep0 = (eb_min0, eb_max0, run_done0, nfpmin, nfpmax, fbmin, fbmax,
+                      alive.astype(jnp.int32))
+
+            if ABLATE == "nosweep":
+                wrote = wrote0
+                alive_i2 = alive.astype(jnp.int32)
+            elif MAXR <= RB_CAP:
+                # shallow worlds: single unrolled sweep + one walk per cell
+                st = sweep0
+                slots = []
+                for k in range(MAXR):
+                    st, prm = sweep_one(k, st)
+                    slots.append(prm)
+                wrote = merged_walk(slots, wrote0)
+                (_, _, _, nfpmin, nfpmax, fbmin, fbmax, alive_i2) = st
+            else:
+                def rb_cond(st):
+                    k0 = st[0]
+                    (_, _, run_done_i, _, _, _, _, alive_i2) = st[1]
+                    return (k0 < MAXR) & jnp.any(
+                        process & (alive_i2 != 0) & (k0 < nruns)
+                        & (run_done_i == 0))
+
+                def rb_body(st):
+                    k0, sweep_st, wrote = st
+                    slots = []
+                    for j in range(RB):
+                        sweep_st, prm = sweep_one(k0 + j, sweep_st)
+                        slots.append(prm)
+                    wrote = merged_walk(slots, wrote)
+                    return (k0 + RB, sweep_st, wrote)
+
+                _, sweep_st, wrote = jax.lax.while_loop(
+                    rb_cond, rb_body, (jnp.int32(0), sweep0, wrote0))
+                (_, _, _, nfpmin, nfpmax, fbmin, fbmax, alive_i2) = sweep_st
+
+            fact = fact & (wrote == 0)
+            nfpmin_o[...] = nfpmin
+            nfpmax_o[...] = nfpmax
+            fbmin_o[...] = fbmin
+            fbmax_o[...] = fbmax
+            fdmin_o[...] = fdmin
+            fdmax_o[...] = fdmax
+            factive_o[...] = fact.astype(jnp.int32)
+            alive_o[...] = alive_i2
 
     return kernel
 
@@ -486,9 +542,9 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
     static_argnames=("C", "MAXR", "BG", "P", "iteration_direction",
                      "world_max_y", "interpret"))
 def rasterize_chunk(
-    visits,  # dict of (C, G, 128) arrays: ids0, ids1, lod, valid
+    visits,  # dict of (C, G, 128) arrays: ids0, ids1, lod, valid (cell-major)
     meta,  # dict of (C, G, 128): n_runs, color_off, cmin, cmax
-    runs,  # (C, MAXR, G, 128) int32
+    runs,  # (C, MAXR, G, 128) int32 (cell-major, run second)
     consts,  # dict of (G, 128): pb_p..pd_w (9), cam_y, cam_y_norm
     raybuf,  # (G, P, 128) int32
     state,  # dict of (G, 128): nfp_min, nfp_max, fb_min, fb_max, fdir_min,
@@ -498,25 +554,28 @@ def rasterize_chunk(
 ):
     G = raybuf.shape[0]
     assert G % BG == 0, (G, BG)
-    grid = (G // BG,)
+    # grid: (ray blocks, cells) — cells minor, so the raybuffer + state blocks of
+    # a ray block stay VMEM-resident across the whole c-sweep while the per-cell
+    # visit blocks stream through double-buffered DMA
+    grid = (G // BG, C)
 
     kern = _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y)
 
-    def bs_cg():  # (G, C, 128) -> (BG, C, 128); Mosaic needs the last two block
-        # dims divisible by (8, 128), so the ray-group axis leads
-        return pl.BlockSpec((BG, C, 128), lambda i: (i, 0, 0),
+    def bs_cg():  # (C, G, 128) -> (1, BG, 128) per-cell slice (cell axis LEADS so
+        # the block's last two dims stay (8-mult, 128) for Mosaic)
+        return pl.BlockSpec((1, BG, 128), lambda i, c: (c, i, 0),
                             memory_space=pltpu.VMEM)
 
-    def bs_runs():  # (G, C, MAXR, 128) -> (BG, C, MAXR, 128); MAXR padded to 8
-        return pl.BlockSpec((BG, C, MAXR, 128), lambda i: (i, 0, 0, 0),
+    def bs_runs():  # (C, MAXR, G, 128) -> (1, MAXR, BG, 128)
+        return pl.BlockSpec((1, MAXR, BG, 128), lambda i, c: (c, 0, i, 0),
                             memory_space=pltpu.VMEM)
 
-    def bs_g():  # (G, 128) -> (BG, 128)
-        return pl.BlockSpec((BG, 128), lambda i: (i, 0),
+    def bs_g():  # (G, 128) -> (BG, 128), resident across the c-sweep
+        return pl.BlockSpec((BG, 128), lambda i, c: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    def bs_rb():  # (G, P, 128) -> (BG, P, 128)
-        return pl.BlockSpec((BG, P, 128), lambda i: (i, 0, 0),
+    def bs_rb():  # (G, P, 128) -> (BG, P, 128), resident across the c-sweep
+        return pl.BlockSpec((BG, P, 128), lambda i, c: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
     state_keys = ("nfp_min", "nfp_max", "fb_min", "fb_max", "fdir_min",

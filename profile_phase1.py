@@ -59,14 +59,21 @@ pixel_len = max(w, h)
 print(f"R={R} itd={itd} chunk={chunk} max_chunks={max_chunks}", file=sys.stderr)
 
 
+def hard_sync(out):
+    # block_until_ready is unreliable through the axon tunnel; force a tiny
+    # dependent device->host transfer instead
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+
+
 def timed(name, fn, *args, n=3, **kw):
     out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    hard_sync(out)
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
         out = fn(*args, **kw)
-        jax.block_until_ready(out)
+        hard_sync(out)
         ts.append(time.perf_counter() - t0)
     print(f"{name:28s} {min(ts)*1e3:10.1f} ms")
     return out
