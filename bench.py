@@ -38,11 +38,19 @@ def build_world(scene: str):
             log(f"cache load failed ({e}); regenerating")
 
     t0 = time.time()
-    if scene == "mill256":
+    if scene.startswith("mill"):
         from cpuvox_tpu.assets.pipeline import convert_obj_to_world
 
         lods = convert_obj_to_world("/root/reference/datasets/mill.obj",
-                                    max_dimension=256, lod_levels=6)
+                                    max_dimension=int(scene[4:] or "256"),
+                                    lod_levels=6)
+    elif scene.startswith("layered"):
+        from cpuvox_tpu.models.procedural import layered_world
+
+        size = int(scene[7:] or "1024")
+        # dozens of runs per column — the powerplant-style run-count profile
+        lods = layered_world(dims=(size, 256, size), seed=99, shell_depth=8,
+                             n_layers=12, lod_levels=6)
     else:
         from cpuvox_tpu.models.procedural import heightmap_world
 
@@ -75,7 +83,8 @@ def verify_backends(renderer, cfg):
     ref = dataclasses.replace(renderer,
                               config=dataclasses.replace(cfg, backend="xla"))
     _, rb_ref, _ = ref.render_device(cam)
-    diff = int(jnp.sum(rb_fast != rb_ref))
+    n = min(rb_fast.shape[0], rb_ref.shape[0])  # backends pad R differently
+    diff = int(jnp.sum(rb_fast[:n] != rb_ref[:n]))
     log(f"backend verify ({cfg.backend} vs xla, on-device): {diff} texels differ "
         f"({time.time() - t0:.1f}s)")
     if diff:
@@ -84,8 +93,63 @@ def verify_backends(renderer, cfg):
         raise SystemExit(1)
 
 
+def run_rollout(n_cams=64, wh=(256, 256), n_steps=4):
+    """Batched multi-camera rollout mode (BASELINE.json config 5): n_cams cameras
+    render per step in (at most two) launches; reports cameras/sec."""
+    import numpy as np
+
+    from cpuvox_tpu.config import RenderConfig
+    from cpuvox_tpu.models.procedural import heightmap_world
+    from cpuvox_tpu.parallel.batch import render_camera_batch
+    from cpuvox_tpu.render import camera as cm
+    from cpuvox_tpu.render.frame import Renderer
+
+    lods = heightmap_world(dims=(512, 128, 512), seed=7, shell_depth=6)
+    dims = lods[0].dims
+    cfg = RenderConfig(width=wh[0], height=wh[1])
+    renderer = Renderer.create(lods, cfg)
+
+    def cams(step):
+        out = []
+        rng = np.random.default_rng(1000 + step)
+        for i in range(n_cams):
+            ang = 360.0 * i / n_cams + step * 7.0
+            out.append(cm.Camera(
+                position=(dims[0] * (0.2 + 0.6 * rng.random()),
+                          dims[1] * (0.4 + 0.4 * rng.random()),
+                          dims[2] * (0.2 + 0.6 * rng.random())),
+                pitch_deg=float(rng.uniform(-20, 60)), yaw_deg=ang, screen=wh))
+        return out
+
+    log("rollout warmup (compiles both iteration directions)...")
+    t0 = time.time()
+    np.asarray(render_camera_batch(renderer, cams(0))[0, 0, 0])
+    log(f"warmup {time.time() - t0:.1f}s")
+    t0 = time.time()
+    last = None
+    for s in range(n_steps):
+        last = render_camera_batch(renderer, cams(s + 1))
+    np.asarray(last[0, 0, 0])  # in-order queue: last done => all done
+    total = time.time() - t0
+    cps = n_cams * n_steps / total
+    print(json.dumps({
+        "metric": f"rollout{n_cams}_cams_per_sec_{wh[0]}x{wh[1]}",
+        "value": round(cps, 2), "unit": "cams/s",
+        "vs_baseline": round(cps / 60.0, 4),
+        "n_steps": n_steps}), flush=True)
+
+
 def main():
     scene = os.environ.get("BENCH_SCENE", "terrain2048")
+    if scene.startswith("rollout"):
+        import jax
+
+        from cpuvox_tpu.utils.jaxcache import enable_persistent_cache
+
+        log(f"compile cache: {enable_persistent_cache()}")
+        log(f"devices: {jax.devices()}")
+        run_rollout(n_cams=int(scene[7:] or "64"))
+        return
     wh = os.environ.get("BENCH_WH", "1920x1080")
     n_frames = int(os.environ.get("BENCH_FRAMES", "12"))
     w, h = (int(x) for x in wh.split("x"))

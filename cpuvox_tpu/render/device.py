@@ -24,7 +24,9 @@ from cpuvox_tpu.world.rle import WorldLOD
 
 REC = 8  # ints per split-layout column record (32 B aligned gather row)
 REC_META = 4  # leading meta ints in an inline record: n_runs, color_off, cmin, cmax
-INLINE_MAX_RUNS = 28  # inline runs into the record while 4 + max_runs <= 32 ints
+INLINE_MAX_RUNS = 60  # inline runs into the record while 4 + max_runs <= 64 ints
+# (one gather row per visited cell beats the split record+runs double gather up
+# to ~256-byte rows; deeper worlds fall back to the split layout)
 
 
 @dataclasses.dataclass

@@ -48,41 +48,63 @@ def reproject_tables(segs: list[sg.SegmentData], ctxs: list[sg.SegmentContext],
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def reproject(raybuf_argb, tri_a, tri_b, tri_c, ray_count, ray_base, active,
               width: int, height: int, skybox=jnp.uint32(0xFF191919)):
-    """(R, P) resolved ARGB raybuffer -> (H, W) uint32 screen (row 0 = bottom)."""
-    px = (jnp.arange(width, dtype=jnp.float32) + 0.5)[None, :, None]  # (1, W, 1)
-    py = (jnp.arange(height, dtype=jnp.float32) + 0.5)[:, None, None]  # (H, 1, 1)
+    """(R, P) resolved ARGB raybuffer -> (H, W) uint32 screen (row 0 = bottom).
 
-    a = tri_a[None, None, :, :]  # (1, 1, 4, 2)
-    v0 = (tri_b - tri_a)[None, None, :, :]
-    v1 = (tri_c - tri_a)[None, None, :, :]
-    v2x = px - a[..., 0]
-    v2y = py - a[..., 1]
-    den = v0[..., 0] * v1[..., 1] - v1[..., 0] * v0[..., 1]
-    den = jnp.where(den == 0, 1e-30, den)
-    b_max = (v2x * v1[..., 1] - v1[..., 0] * v2y) / den  # weight of max corner
-    b_min = (v0[..., 0] * v2y - v2x * v0[..., 1]) / den  # weight of min corner
-    b_vp = 1.0 - b_max - b_min
-    score = jnp.minimum(jnp.minimum(b_vp, b_max), b_min)  # (H, W, 4)
-    score = jnp.where(active[None, None, :], score, -jnp.inf)
+    The per-pixel segment pick and barycentric math run as an UNROLLED loop over
+    the 4 segments on (H, W) arrays with per-segment scalars — no (H, W, 4)
+    buffers, no argmax/take_along_axis (which XLA lowers very poorly on TPU;
+    measured ~25x slower than this form at 1080p).  Selection semantics match
+    the oracle exactly: first triangle containing the pixel wins, else the
+    first-of-equal-maxima best minimum-barycentric score.
+    """
+    px = (jnp.arange(width, dtype=jnp.float32) + 0.5)[None, :]  # (1, W)
+    py = (jnp.arange(height, dtype=jnp.float32) + 0.5)[:, None]  # (H, 1)
 
-    inside = score >= 0.0
-    # first inside triangle wins; else the best score (argmax takes the first of
-    # equal maxima, matching the oracle's strict-greater scan)
-    pick_inside = jnp.argmax(
-        inside.astype(jnp.int32) * (4 - jnp.arange(4))[None, None, :], axis=-1)
-    pick_best = jnp.argmax(score, axis=-1)
-    seg_id = jnp.where(inside.any(axis=-1), pick_inside, pick_best)
+    neg_inf = jnp.float32(-np.inf)
+    best_score = jnp.full((height, width), neg_inf, jnp.float32)
+    best_id = jnp.zeros((height, width), jnp.int32)
+    inside_any = jnp.zeros((height, width), jnp.bool_)
+    inside_id = jnp.zeros((height, width), jnp.int32)
+    ray_idx_acc = jnp.zeros((height, width), jnp.int32)
+    bms, bns = [], []
 
-    bm = jnp.take_along_axis(b_max, seg_id[..., None], axis=-1)[..., 0]
-    bn = jnp.take_along_axis(b_min, seg_id[..., None], axis=-1)[..., 0]
-    denom = bm + bn
-    x = jnp.where(denom != 0, bm / denom, 0.0)
-    rc = ray_count[seg_id]
-    ray_idx = jnp.clip(jnp.floor(x * rc.astype(jnp.float32)).astype(jnp.int32),
-                       0, rc - 1) + ray_base[seg_id]
+    for si in range(4):
+        v0x = tri_b[si, 0] - tri_a[si, 0]
+        v0y = tri_b[si, 1] - tri_a[si, 1]
+        v1x = tri_c[si, 0] - tri_a[si, 0]
+        v1y = tri_c[si, 1] - tri_a[si, 1]
+        v2x = px - tri_a[si, 0]
+        v2y = py - tri_a[si, 1]
+        den = v0x * v1y - v1x * v0y
+        den = jnp.where(den == 0, 1e-30, den)
+        b_max = (v2x * v1y - v1x * v2y) / den  # weight of max corner
+        b_min = (v0x * v2y - v2x * v0y) / den  # weight of min corner
+        b_vp = 1.0 - b_max - b_min
+        score = jnp.minimum(jnp.minimum(b_vp, b_max), b_min)
+        score = jnp.where(active[si], score, neg_inf)
+        bms.append(b_max)
+        bns.append(b_min)
+
+        inside = score >= 0.0
+        take_inside = inside & ~inside_any
+        inside_id = jnp.where(take_inside, si, inside_id)
+        inside_any = inside_any | inside
+        better = score > best_score  # strict: first of equal maxima wins
+        best_id = jnp.where(better, si, best_id)
+        best_score = jnp.maximum(best_score, score)
+
+    seg_id = jnp.where(inside_any, inside_id, best_id)
+
+    for si in range(4):
+        denom = bms[si] + bns[si]
+        x = jnp.where(denom != 0, bms[si] / denom, 0.0)
+        rc = ray_count[si]
+        ridx = jnp.clip(jnp.floor(x * rc.astype(jnp.float32)).astype(jnp.int32),
+                        0, rc - 1) + ray_base[si]
+        ray_idx_acc = jnp.where(seg_id == si, ridx, ray_idx_acc)
 
     texel = jnp.where(seg_id < 2,
                       jnp.broadcast_to(jnp.arange(height)[:, None], (height, width)),
                       jnp.broadcast_to(jnp.arange(width)[None, :], (height, width)))
-    out = raybuf_argb[jnp.clip(ray_idx, 0, raybuf_argb.shape[0] - 1), texel]
+    out = raybuf_argb[jnp.clip(ray_idx_acc, 0, raybuf_argb.shape[0] - 1), texel]
     return jnp.where(active.any(), out, skybox)
