@@ -43,6 +43,11 @@ class RenderConfig:
     # phase-1 backend: "pallas" (TPU kernel, the fast path) or "xla" (the
     # full-width masked reference implementation)
     backend: str = "pallas"
+    # per-frame ray init on the host (numpy, bit-exact vs the oracle) or on
+    # device (jnp — XLA's FMA contraction drifts a few ULPs vs numpy, which can
+    # flip the odd pixel on LOD'd mesh content; the batched rollout path always
+    # uses device init for throughput)
+    host_init: bool = True
     # ray groups of 128 lanes per kernel block (VMEM budget vs divergence knob)
     block_groups: int = 4
     # run Pallas in interpreter mode (CPU tests)

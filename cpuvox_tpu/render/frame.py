@@ -35,8 +35,11 @@ F = np.float32
 def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
               backend, interpret, iteration_direction, chunk, max_chunks,
               max_runs, dims, pixel_len, width, height, R,
-              out_width=None, out_height=None):
-    static, dda, alive0 = device_init.init_rays_device(fp, dims, R)
+              out_width=None, out_height=None, init=None):
+    if init is None:
+        static, dda, alive0 = device_init.init_rays_device(fp, dims, R)
+    else:
+        static, dda, alive0 = init  # host-built (bit-exact vs the oracle)
     common = dict(iteration_direction=iteration_direction, chunk=chunk,
                   max_chunks=max_chunks, max_runs=max_runs, dims=dims,
                   pixel_len=pixel_len)
@@ -50,9 +53,15 @@ def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
             jnp.float32(dims[1]), fp.cam_pos[1], **common)
     # reproject in color-INDEX space first, then resolve only the screen's 2M
     # pixels — resolving the whole raybuffer would be an ~18M-row gather
-    screen_idx = reproject.reproject.__wrapped__(
-        raybuf_idx, tri_a, tri_b, tri_c, ray_count, ray_base, active,
-        width=width, height=height, skybox=jnp.int32(0))
+    if backend == "pallas":
+        screen_idx = reproject.reproject_pallas(
+            raybuf_idx, tri_a, tri_b, tri_c, ray_count, ray_base, active,
+            width=width, height=height, skybox=jnp.int32(0),
+            interpret=interpret)
+    else:
+        screen_idx = reproject.reproject.__wrapped__(
+            raybuf_idx, tri_a, tri_b, tri_c, ray_count, ray_base, active,
+            width=width, height=height, skybox=jnp.int32(0))
     screen = raymarch.resolve_colors(screen_idx, wa.colors)
     if out_width is not None and (out_width, out_height) != (width, height):
         # native-size upscale of the scaled render (the reference renders through
@@ -136,6 +145,12 @@ class Renderer:
         n_td = segs[0].ray_count + segs[1].ray_count
         tables = reproject.reproject_tables(segs, ctxs, vp_screen, n_td)
 
+        init = None
+        if cfg.host_init:
+            static, dda, alive0, _meta = raymarch.init_rays(
+                cam_data, segs, ctxs, dims, fixed_size=R)
+            init = (static, dda, alive0)
+
         interpret = cfg.pallas_interpret or jax.default_backend() == "cpu"
         screen, argb = _frame_fn(
             self._wa, fp,
@@ -148,7 +163,7 @@ class Renderer:
             chunk=cfg.chunk_steps, max_chunks=cfg.max_march_chunks,
             max_runs=self.device_world.max_runs, dims=dims,
             pixel_len=max(rw, rh), width=rw, height=rh, R=R,
-            out_width=cfg.width, out_height=cfg.height)
+            out_width=cfg.width, out_height=cfg.height, init=init)
         return screen, argb, (segs, ctxs, vp_screen, cam_data, cam)
 
     def render(self, cam: cm.Camera, return_raybuffers: bool = False):

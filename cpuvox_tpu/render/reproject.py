@@ -45,17 +45,16 @@ def reproject_tables(segs: list[sg.SegmentData], ctxs: list[sg.SegmentContext],
                 ray_base=ray_base, active=active)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height"))
-def reproject(raybuf_argb, tri_a, tri_b, tri_c, ray_count, ray_base, active,
-              width: int, height: int, skybox=jnp.uint32(0xFF191919)):
-    """(R, P) resolved ARGB raybuffer -> (H, W) uint32 screen (row 0 = bottom).
+def segment_ray_index(tri_a, tri_b, tri_c, ray_count, ray_base, active,
+                      width: int, height: int):
+    """Per-pixel (segment id, global ray index) map — the phase-2 index math.
 
-    The per-pixel segment pick and barycentric math run as an UNROLLED loop over
-    the 4 segments on (H, W) arrays with per-segment scalars — no (H, W, 4)
-    buffers, no argmax/take_along_axis (which XLA lowers very poorly on TPU;
-    measured ~25x slower than this form at 1080p).  Selection semantics match
-    the oracle exactly: first triangle containing the pixel wins, else the
-    first-of-equal-maxima best minimum-barycentric score.
+    Runs as an UNROLLED loop over the 4 segments on (H, W) arrays with
+    per-segment scalars — no (H, W, 4) buffers, no argmax/take_along_axis
+    (which XLA lowers very poorly on TPU; measured ~25x slower than this form
+    at 1080p).  Selection semantics match the oracle exactly: first triangle
+    containing the pixel wins, else the first-of-equal-maxima best
+    minimum-barycentric score.
     """
     px = (jnp.arange(width, dtype=jnp.float32) + 0.5)[None, :]  # (1, W)
     py = (jnp.arange(height, dtype=jnp.float32) + 0.5)[:, None]  # (H, 1)
@@ -103,8 +102,32 @@ def reproject(raybuf_argb, tri_a, tri_b, tri_c, ray_count, ray_base, active,
                         0, rc - 1) + ray_base[si]
         ray_idx_acc = jnp.where(seg_id == si, ridx, ray_idx_acc)
 
+    return seg_id, ray_idx_acc
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def reproject(raybuf_argb, tri_a, tri_b, tri_c, ray_count, ray_base, active,
+              width: int, height: int, skybox=jnp.uint32(0xFF191919)):
+    """(R, P) resolved raybuffer -> (H, W) screen (row 0 = bottom); XLA gather."""
+    seg_id, ray_idx = segment_ray_index(tri_a, tri_b, tri_c, ray_count,
+                                        ray_base, active, width, height)
     texel = jnp.where(seg_id < 2,
                       jnp.broadcast_to(jnp.arange(height)[:, None], (height, width)),
                       jnp.broadcast_to(jnp.arange(width)[None, :], (height, width)))
-    out = raybuf_argb[jnp.clip(ray_idx_acc, 0, raybuf_argb.shape[0] - 1), texel]
+    out = raybuf_argb[jnp.clip(ray_idx, 0, raybuf_argb.shape[0] - 1), texel]
+    return jnp.where(active.any(), out, skybox)
+
+
+def reproject_pallas(raybuf_idx, tri_a, tri_b, tri_c, ray_count, ray_base,
+                     active, width: int, height: int, skybox=jnp.int32(0),
+                     interpret: bool = False):
+    """Same result as `reproject` for an int32 color-INDEX raybuffer, with the
+    2-D sample done by the windowed Pallas kernel (ops/reproject_kernel) —
+    identical index math, bit-identical output."""
+    from cpuvox_tpu.ops import reproject_kernel as rk
+
+    seg_id, ray_idx = segment_ray_index(tri_a, tri_b, tri_c, ray_count,
+                                        ray_base, active, width, height)
+    out = rk.reproject_sample(raybuf_idx, seg_id, ray_idx, width, height,
+                              interpret=interpret)
     return jnp.where(active.any(), out, skybox)

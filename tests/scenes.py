@@ -55,6 +55,10 @@ def frame_setup(world, cam, lod_distances=None, lod_levels=6):
     if lod_distances is None:
         far_clip = float(2 * max(world.dims))
         lod_distances = np.full(lod_levels, 4 * far_clip, F)  # LOD0-only by default
+    elif isinstance(lod_distances, str) and lod_distances == "renderer":
+        # the Renderer's own LOD policy (cm.setup_lods, lod_error 1.0)
+        lod_distances, far_clip = cm.setup_lods(cam, max(world.dims),
+                                                lod_levels, 1.0)
     else:
         lod_distances = np.asarray(lod_distances, F)
         far_clip = float(2 * max(world.dims))

@@ -45,3 +45,22 @@ def test_oracle_matches_golden_spot():
     cam = cm.Camera(position=pos, pitch_deg=pitch, yaw_deg=yaw, screen=(64, 48))
     screen, _ = scenes.render_oracle_frame(w, cam)
     np.testing.assert_array_equal(screen, g["screen"])
+
+
+def test_mill_lod_oracle_exactness():
+    """Mesh-derived content + LOD chain + outside-world camera: the round-2
+    regression where device-init FMA drift flipped ~110 px (fixed by host init;
+    cpuvox_tpu/config.py host_init)."""
+    from cpuvox_tpu.assets.pipeline import convert_obj_to_world
+
+    lods = convert_obj_to_world("/root/reference/datasets/mill.obj",
+                                max_dimension=64, lod_levels=6)
+    cam = cm.Camera(position=(32, 35, -30.0), pitch_deg=14.0, yaw_deg=0.0,
+                    screen=(80, 60))
+    screen, _ = scenes.render_oracle_frame(
+        lods, cam, lod_distances="renderer")
+    cfg = RenderConfig(width=80, height=60, backend="xla", chunk_steps=8,
+                       max_march_chunks=96)
+    r = Renderer.create(lods, cfg)
+    s = r.render(cam)
+    np.testing.assert_array_equal(s, screen)
