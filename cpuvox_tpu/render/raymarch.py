@@ -85,6 +85,16 @@ class WorldArrays(NamedTuple):
     rec_rev: jnp.ndarray | None = None
 
 
+def _small_lut(table, idx, n: int):
+    """table[idx] for a tiny (n <= ~10 entries) table as an unrolled select
+    chain — XLA lowers tiny-table `table[idx]` as a REAL per-row gather
+    (~14ns/row on TPU), which was >1ms per chunk on the hot path."""
+    out = jnp.broadcast_to(table[0], idx.shape)
+    for k in range(1, n):
+        out = jnp.where(idx == k, table[k], out)
+    return out
+
+
 def _fetch_columns(wa: WorldArrays, ci, v_valid, iteration_direction, max_runs):
     """Fetch the visited columns' meta + runs.
 
@@ -337,7 +347,9 @@ def _roll_chunk(dda: DDAState, alive, dirs, lod_distances, far_clip, dims, chunk
 
     def body(carry, _):
         dda, alive = carry
-        ldist = lod_distances[jnp.clip(dda.lod, 0, lod_distances.shape[0] - 1)]
+        ldist = _small_lut(lod_distances,
+                           jnp.clip(dda.lod, 0, lod_distances.shape[0] - 1),
+                           lod_distances.shape[0])
         switch = alive & (dda.ids[:, 0] >= ldist)
         nxt = _dda_next_lod(dda, dirs)
         dda = jax.tree_util.tree_map(
@@ -723,8 +735,8 @@ def march(
         v_pos, v_ids, v_lod, v_valid = visits  # (C, R, ...)
 
         lodc = jnp.clip(v_lod, 0, 7)
-        ci = (wa.col_base[lodc]
-              + (v_pos[:, :, 0] >> v_lod) * wa.grid_z[lodc]
+        ci = (_small_lut(wa.col_base, lodc, 8)
+              + (v_pos[:, :, 0] >> v_lod) * _small_lut(wa.grid_z, lodc, 8)
               + (v_pos[:, :, 1] >> v_lod))
         ci = jnp.where(v_valid, ci, 0)
         n_runs, run_off, color_off, cmin, cmax, runs_k = _fetch_columns(
@@ -890,8 +902,8 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
             v_pos, v_ids, v_lod, v_valid = visits  # (C, Rk, ...)
 
             lodc = jnp.clip(v_lod, 0, 7)
-            ci = (wa.col_base[lodc]
-                  + (v_pos[:, :, 0] >> v_lod) * wa.grid_z[lodc]
+            ci = (_small_lut(wa.col_base, lodc, 8)
+                  + (v_pos[:, :, 0] >> v_lod) * _small_lut(wa.grid_z, lodc, 8)
                   + (v_pos[:, :, 1] >> v_lod))
             ci = jnp.where(v_valid, ci, 0)
             if ablate2 == "nogather":
