@@ -79,17 +79,16 @@ def verify_backends(renderer, cfg):
     cam = benchmark_camera(0.35 * BENCH_CLIP_LENGTH,
                            renderer.device_world.dims, (cfg.width, cfg.height))
     t0 = time.time()
-    _, rb_fast, _ = renderer.render_device(cam)
+    s_fast, _, _ = renderer.render_device(cam)
     ref = dataclasses.replace(renderer,
                               config=dataclasses.replace(cfg, backend="xla"))
-    _, rb_ref, _ = ref.render_device(cam)
-    n = min(rb_fast.shape[0], rb_ref.shape[0])  # backends pad R differently
-    diff = int(jnp.sum(rb_fast[:n] != rb_ref[:n]))
-    log(f"backend verify ({cfg.backend} vs xla, on-device): {diff} texels differ "
-        f"({time.time() - t0:.1f}s)")
+    s_ref, _, _ = ref.render_device(cam)
+    diff = int(jnp.sum(s_fast != s_ref))
+    log(f"backend verify ({cfg.backend} vs xla, on-device): {diff} screen "
+        f"pixels differ ({time.time() - t0:.1f}s)")
     if diff:
         print(json.dumps({"metric": "BACKEND_DIVERGENCE", "value": diff,
-                          "unit": "texels", "vs_baseline": 0.0}), flush=True)
+                          "unit": "pixels", "vs_baseline": 0.0}), flush=True)
         raise SystemExit(1)
 
 

@@ -43,6 +43,10 @@ class RenderConfig:
     # phase-1 backend: "pallas" (TPU kernel, the fast path) or "xla" (the
     # full-width masked reference implementation)
     backend: str = "pallas"
+    # ARGB records: inline each column's voxel colors into its record so phase 1
+    # writes final pixels (no phase-2 color-resolve gather).  Off by default —
+    # the wider march-gather rows cost more than the resolve saves on v5e.
+    argb_records: bool = False
     # per-frame ray init on the host (numpy, bit-exact vs the oracle) or on
     # device (jnp — XLA's FMA contraction drifts a few ULPs vs numpy, which can
     # flip the odd pixel on LOD'd mesh content; the batched rollout path always

@@ -68,6 +68,7 @@ class _FakeDeviceWorld:
     dims: tuple[int, int, int]
     max_runs: int
     _wa: object
+    max_col_colors: int = 0  # dynamic worlds use the split layout (index mode)
 
     @property
     def colors(self):

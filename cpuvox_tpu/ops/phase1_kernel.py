@@ -56,9 +56,12 @@ def _shift_left_one(lod):
     return jnp.left_shift(1, lod).astype(jnp.int32)
 
 
-def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
+def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0):
     WMY = float(world_max_y)  # python scalar (weak-typed)
     RB = min(MAXR, RB_CAP)
+    # MCC > 0: ARGB mode — the record carries the column's voxel colors
+    # (alpha MSB cleared, so they stay >= 0 and the unwritten<0 sentinel holds);
+    # span writes emit final colors instead of color indices
     # perf-bisection hook (dev only — output is WRONG with any ablation set):
     # "nosweep" skips the run loop+walk, "nowalk" skips only the tile walk
     ABLATE = os.environ.get("PHASE1_ABLATE", "")
@@ -115,23 +118,26 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
                       jnp.where(~bmin & bmax, max_fmin, 1.0)))
         return clipped, min_lerp, max_lerp
 
-    def kernel(
+    def kernel(*refs):
         # per-cell visit/meta inputs (grid dim 1 walks the chunk's cells, so each
         # is a (BG, 1, 128) block — all reads are STATIC; no traced-index sublane
-        # slicing, and Mosaic double-buffers the per-cell DMA behind compute)
-        ids0_r, ids1_r, lod_r, valid_r, nruns_r, coloroff_r, cmin_r, cmax_r,
-        runs_r,
-        # per-ray constants
-        pb_p_r, pb_n_r, pb_w_r, pt_p_r, pt_n_r, pt_w_r, pd_p_r, pd_n_r, pd_w_r,
-        camy_r, camyn_r, origmin_r, origmax_r,
-        # aliased state inputs
-        raybuf_in, nfpmin_in, nfpmax_in, fbmin_in, fbmax_in, fdmin_in, fdmax_in,
-        factive_in, alive_in,
-        # outputs (alias the state inputs; same VMEM block stays resident across
-        # the whole c-sweep — they double as the cell-loop state carries)
-        raybuf_ref, nfpmin_o, nfpmax_o, fbmin_o, fbmax_o, fdmin_o, fdmax_o,
-        factive_o, alive_o,
-    ):
+        # slicing, and Mosaic double-buffers the per-cell DMA behind compute);
+        # then per-ray constants, then the aliased state inputs, then outputs
+        # (same VMEM blocks stay resident across the whole c-sweep — they double
+        # as the cell-loop state carries)
+        (ids0_r, ids1_r, lod_r, valid_r, nruns_r, coloroff_r, cmin_r, cmax_r,
+         runs_r) = refs[:9]
+        pos = 9
+        colors_r = None
+        if MCC:
+            colors_r = refs[pos]
+            pos += 1
+        (pb_p_r, pb_n_r, pb_w_r, pt_p_r, pt_n_r, pt_w_r, pd_p_r, pd_n_r, pd_w_r,
+         camy_r, camyn_r, origmin_r, origmax_r,
+         raybuf_in, nfpmin_in, nfpmax_in, fbmin_in, fbmax_in, fdmin_in,
+         fdmax_in, factive_in, alive_in,
+         raybuf_ref, nfpmin_o, nfpmax_o, fbmin_o, fbmax_o, fdmin_o, fdmax_o,
+         factive_o, alive_o) = refs[pos:]
         c = pl.program_id(1)
 
         @pl.when(c == 0)
@@ -414,13 +420,25 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
                 killed2 = overlap2 & (nfpmin > nfpmax)
                 alive = alive & ~killed2
 
+                if MCC:
+                    # ARGB mode: resolve the cap color now (register select over
+                    # the column's inline colors); side spans resolve per pixel
+                    # in the walk
+                    cap_col = jnp.zeros_like(sec_idx)
+                    for kk in range(MCC):
+                        cap_col = jnp.where(sec_idx == kk, colors_r[0, kk],
+                                            cap_col)
+                    base_col = cidx  # local color base for the walk's select
+                else:
+                    cap_col = coloroff + sec_idx
+                    base_col = coloroff + cidx
                 params = dict(
                     overlap=overlap, rb_min=rb_min2, rb_max=rb_max2,
                     rbf_lo=rbf_lo, inv_span=1.0 / (rbf_hi - rbf_lo),
                     uvlo0=uvlo0, uvlo1=uvlo1, uvhi0=uvhi0, uvhi1=uvhi1,
-                    base_col=coloroff + cidx, len_m1=length - 1,
+                    base_col=base_col, len_m1=length - 1,
                     overlap2=overlap2, rb2_min=rb2_min2, rb2_max=rb2_max2,
-                    cap_col=coloroff + sec_idx,
+                    cap_col=cap_col,
                 )
                 return (eb_min, eb_max, run_done.astype(jnp.int32), nfpmin,
                         nfpmax, fbmin, fbmax, alive.astype(jnp.int32)), params
@@ -469,7 +487,15 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
                         u = wu1 / wu0
                         iu = jnp.where(jnp.isnan(u), 0,
                                        jnp.floor(u).astype(jnp.int32))
-                        val = e("base_col") + jnp.clip(iu, 0, e("len_m1"))
+                        cl = e("base_col") + jnp.clip(iu, 0, e("len_m1"))
+                        if MCC:  # per-pixel select from the inline colors
+                            val = jnp.zeros_like(cl)
+                            for kk in range(MCC):
+                                val = jnp.where(cl == kk,
+                                                colors_r[0, kk][:, None, :],
+                                                val)
+                        else:
+                            val = cl
                         chosen = jnp.where(in_s & ~claimed, val, chosen)
                         claimed = claimed | in_s
                         in_c = ((rows_i >= e("rb2_min"))
@@ -540,7 +566,7 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y):
 @functools.partial(
     jax.jit,
     static_argnames=("C", "MAXR", "BG", "P", "iteration_direction",
-                     "world_max_y", "interpret"))
+                     "world_max_y", "interpret", "MCC"))
 def rasterize_chunk(
     visits,  # dict of (C, G, 128) arrays: ids0, ids1, lod, valid (cell-major)
     meta,  # dict of (C, G, 128): n_runs, color_off, cmin, cmax
@@ -551,6 +577,8 @@ def rasterize_chunk(
             #                   fdir_max, f_active, alive (int32)
     C: int, MAXR: int, BG: int, P: int, iteration_direction: int,
     world_max_y: float, interpret: bool = False,
+    colors=None,  # (C, MCC, G, 128) int32 inline ARGB (MSB cleared) or None
+    MCC: int = 0,
 ):
     G = raybuf.shape[0]
     assert G % BG == 0, (G, BG)
@@ -559,7 +587,8 @@ def rasterize_chunk(
     # visit blocks stream through double-buffered DMA
     grid = (G // BG, C)
 
-    kern = _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y)
+    kern = _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y,
+                        MCC=MCC)
 
     def bs_cg():  # (C, G, 128) -> (1, BG, 128) per-cell slice (cell axis LEADS so
         # the block's last two dims stay (8-mult, 128) for Mosaic)
@@ -578,11 +607,17 @@ def rasterize_chunk(
         return pl.BlockSpec((BG, P, 128), lambda i, c: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
+    def bs_colors():  # (C, MCC, G, 128) -> (1, MCC, BG, 128)
+        return pl.BlockSpec((1, MCC, BG, 128), lambda i, c: (c, 0, i, 0),
+                            memory_space=pltpu.VMEM)
+
     state_keys = ("nfp_min", "nfp_max", "fb_min", "fb_max", "fdir_min",
                   "fdir_max", "f_active", "alive")
+    color_in = [colors] if MCC else []
     inputs = [
         visits["ids0"], visits["ids1"], visits["lod"], visits["valid"],
         meta["n_runs"], meta["color_off"], meta["cmin"], meta["cmax"], runs,
+        *color_in,
         consts["pb_p"], consts["pb_n"], consts["pb_w"],
         consts["pt_p"], consts["pt_n"], consts["pt_w"],
         consts["pd_p"], consts["pd_n"], consts["pd_w"],
@@ -590,18 +625,20 @@ def rasterize_chunk(
         consts["orig_min"], consts["orig_max"],
         raybuf, *(state[k] for k in state_keys),
     ]
-    in_specs = ([bs_cg()] * 8 + [bs_runs()] + [bs_g()] * 13
-                + [bs_rb()] + [bs_g()] * 8)
+    in_specs = ([bs_cg()] * 8 + [bs_runs()]
+                + ([bs_colors()] if MCC else [])
+                + [bs_g()] * 13 + [bs_rb()] + [bs_g()] * 8)
     out_specs = [bs_rb()] + [bs_g()] * 8
     out_shape = [jax.ShapeDtypeStruct(raybuf.shape, raybuf.dtype)] + [
         jax.ShapeDtypeStruct((G, 128), state[k].dtype) for k in state_keys]
 
-    # raybuf is input 22 -> output 0; state inputs 23..30 -> outputs 1..8.
-    # (interpret mode doesn't honor aliasing; the kernel's explicit copy-in keeps it
-    # correct either way)
-    aliases = {22: 0}
+    # raybuf input -> output 0; state inputs -> outputs 1..8.
+    # (interpret mode doesn't honor aliasing; the kernel's explicit copy-in keeps
+    # it correct either way)
+    rb_pos = 22 + (1 if MCC else 0)
+    aliases = {rb_pos: 0}
     for j in range(8):
-        aliases[23 + j] = 1 + j
+        aliases[rb_pos + 1 + j] = 1 + j
     kwargs = {} if interpret else {"input_output_aliases": aliases}
 
     out = pl.pallas_call(

@@ -98,11 +98,28 @@ def render_camera_batch(renderer, cams: list[cm.Camera]):
         group = [p for p in prepared if p[1] == direction]
         if not group:
             continue
+        # pad the group to a bucket size so the jit signature is stable across
+        # steps regardless of how cameras split by pitch sign (otherwise every
+        # rollout step with a new split recompiles); dummy slots have zero rays
+        # (seg_ray_count == 0 -> no alive rays, active == False -> skybox)
+        n_real = len(group)
+        bucket = 1
+        while bucket < n_real:
+            bucket *= 2
+        bucket = min(bucket, len(cams))
+        n_pad = max(bucket, n_real) - n_real
         fp_b = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *(p[2] for p in group))
         tb = {k: jnp.asarray(np.stack([p[3][k] for p in group]))
               for k in ("tri_a", "tri_b", "tri_c", "ray_count", "ray_base",
                         "active")}
+        if n_pad:
+            fp_b = jax.tree_util.tree_map(
+                lambda x: jnp.concatenate(
+                    [x, jnp.zeros((n_pad,) + x.shape[1:], x.dtype)]), fp_b)
+            tb = {k: jnp.concatenate(
+                [v, jnp.zeros((n_pad,) + v.shape[1:], v.dtype)])
+                for k, v in tb.items()}
         interpret = cfg.pallas_interpret or jax.default_backend() == "cpu"
         screens = _batch_frame_fn(
             renderer._wa, fp_b, tb["tri_a"], tb["tri_b"], tb["tri_c"],
@@ -112,6 +129,6 @@ def render_camera_batch(renderer, cams: list[cm.Camera]):
             max_chunks=cfg.max_march_chunks,
             max_runs=renderer.device_world.max_runs, dims=dims,
             pixel_len=max(W, H), width=W, height=H, R1=R1)
-        for j, p in enumerate(group):
+        for j, p in enumerate(group):  # dummy pad screens are dropped here
             out[p[0]] = screens[j]
     return jnp.stack(out)

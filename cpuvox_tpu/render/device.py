@@ -27,6 +27,12 @@ REC_META = 4  # leading meta ints in an inline record: n_runs, color_off, cmin, 
 INLINE_MAX_RUNS = 60  # inline runs into the record while 4 + max_runs <= 64 ints
 # (one gather row per visited cell beats the split record+runs double gather up
 # to ~256-byte rows; deeper worlds fall back to the split layout)
+INLINE_MAX_COLORS = 24  # ALSO inline the column's voxel colors (ARGB mode) when
+# every column has <= this many voxels: phase 1 then writes final ARGB pixels
+# and the ~2M-element color-resolve gather (a flat ~75ms on v5e at 1080p)
+# disappears from phase 2.  Colors ride with bit31 (the alpha MSB, always 1 for
+# opaque ARGB) CLEARED so the kernel's "unwritten < 0" sentinel keeps working;
+# the final skybox pass restores it.
 
 
 @dataclasses.dataclass
@@ -57,6 +63,9 @@ class DeviceWorld:
     # upward iteration direction (DrawSegmentRayJob.cs:432-437).
     rec_fwd: np.ndarray | None = None  # int32 [total_cols, 4 + padded max_runs]
     rec_rev: np.ndarray | None = None
+    # ARGB mode (INLINE_MAX_COLORS): the column's voxel colors are ALSO inline
+    # (alpha-MSB cleared), appended after the runs; max_col_colors > 0 marks it
+    max_col_colors: int = 0
 
 
 def reverse_runs(runs: np.ndarray, col_offset: np.ndarray, col_runs: np.ndarray
@@ -77,8 +86,12 @@ def reverse_runs(runs: np.ndarray, col_offset: np.ndarray, col_runs: np.ndarray
 
 
 def build_device_world(lods: list[WorldLOD],
-                       skybox_rgb: tuple[int, int, int] = (25, 25, 25)
-                       ) -> DeviceWorld:
+                       skybox_rgb: tuple[int, int, int] = (25, 25, 25),
+                       inline_colors: bool = False) -> DeviceWorld:
+    """inline_colors enables ARGB mode (phase 1 writes final colors, no resolve
+    gather) — measured a net LOSS at 1080p/terrain2048 on v5e (the 3x wider
+    record rows cost more in the march gather than the resolve saves), so it is
+    opt-in; kept because the tradeoff may flip on other content/hardware."""
     lod_levels = len(lods)
     col_base = np.zeros(8, np.int32)
     grid_z = np.ones(8, np.int32)
@@ -131,17 +144,29 @@ def build_device_world(lods: list[WorldLOD],
         max_runs=max_runs,
     )
     if max_runs <= INLINE_MAX_RUNS:
-        dw.rec_fwd = _inline_records(rec, runs_fwd, max_runs)
-        dw.rec_rev = _inline_records(rec, runs_bwd, max_runs)
+        # per-column voxel-color count = sum of the column's solid-run lengths
+        # (offsets are NOT monotone in column order for voxel-soup worlds)
+        solid_len = np.where(runs_fwd >= 0, runs_fwd & 0xFFFF, 0).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(solid_len)])
+        off64 = co.astype(np.int64)
+        col_colors = csum[off64 + cr] - csum[off64]
+        max_cc = int(col_colors.max()) if col_colors.size else 0
+        mcc = max_cc if inline_colors and 0 < max_cc <= INLINE_MAX_COLORS else 0
+        dw.rec_fwd = _inline_records(rec, runs_fwd, max_runs, colors, mcc)
+        dw.rec_rev = _inline_records(rec, runs_bwd, max_runs, colors, mcc)
+        dw.max_col_colors = mcc
         dw.col_rec = dw.runs = dw.runs_rev = None
     return dw
 
 
-def _inline_records(rec: np.ndarray, runs: np.ndarray, max_runs: int) -> np.ndarray:
-    """Pack [n_runs, color_off, cmin, cmax, run0..run_{max_runs-1}] per column into
-    one row (padded to a 32-byte multiple) so a column fetch is a single gather."""
+def _inline_records(rec: np.ndarray, runs: np.ndarray, max_runs: int,
+                    colors: np.ndarray, max_cc: int = 0) -> np.ndarray:
+    """Pack [n_runs, color_off, cmin, cmax, run0..run_{max_runs-1}
+    (, argb0..argb_{max_cc-1})] per column into one row (padded to a 32-byte
+    multiple) so a column fetch is a single gather.  Inline colors carry the
+    alpha MSB cleared (see INLINE_MAX_COLORS)."""
     n_cols = rec.shape[0]
-    rw = ((REC_META + max_runs + 7) // 8) * 8
+    rw = ((REC_META + max_runs + max_cc + 7) // 8) * 8
     out = np.zeros((n_cols, rw), np.int32)
     out[:, 0] = rec[:, 0]
     out[:, 1] = rec[:, 2]  # color_off
@@ -151,4 +176,10 @@ def _inline_records(rec: np.ndarray, runs: np.ndarray, max_runs: int) -> np.ndar
     idx = rec[:, 1].astype(np.int64)[:, None] + k  # run_offset + k (tail-padded)
     vals = runs[np.minimum(idx, runs.shape[0] - 1)]
     out[:, REC_META:REC_META + max_runs] = np.where(k < rec[:, 0:1], vals, 0)
+    if max_cc:
+        kc = np.arange(max_cc, dtype=np.int64)[None, :]
+        cidx = rec[:, 2].astype(np.int64)[:, None] + kc  # global color offset
+        cvals = (colors[np.minimum(cidx, colors.shape[0] - 1)]
+                 & np.uint32(0x7FFFFFFF)).astype(np.int32)
+        out[:, REC_META + max_runs:REC_META + max_runs + max_cc] = cvals
     return out

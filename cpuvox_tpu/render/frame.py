@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cpuvox_tpu.config import RenderConfig
+from cpuvox_tpu.utils.colors import pack_argb
 from cpuvox_tpu.world.rle import WorldLOD
 
 from . import camera as cm
@@ -31,11 +32,13 @@ F = np.float32
     jax.jit,
     static_argnames=("backend", "interpret", "iteration_direction", "chunk",
                      "max_chunks", "max_runs", "dims", "pixel_len", "width",
-                     "height", "R", "out_width", "out_height"))
+                     "height", "R", "out_width", "out_height",
+                     "max_col_colors", "skybox_argb"))
 def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
               backend, interpret, iteration_direction, chunk, max_chunks,
               max_runs, dims, pixel_len, width, height, R,
-              out_width=None, out_height=None, init=None):
+              out_width=None, out_height=None, init=None,
+              max_col_colors=0, skybox_argb=0xFF191919):
     if init is None:
         static, dda, alive0 = device_init.init_rays_device(fp, dims, R)
     else:
@@ -43,26 +46,41 @@ def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
     common = dict(iteration_direction=iteration_direction, chunk=chunk,
                   max_chunks=max_chunks, max_runs=max_runs, dims=dims,
                   pixel_len=pixel_len)
+    argb_mode = backend == "pallas" and max_col_colors > 0
     if backend == "pallas":
         raybuf_idx = raymarch.phase1_pallas(
             wa, static, dda, alive0, fp.lod_distances, fp.far_clip,
-            float(dims[1]), fp.cam_pos[1], **common, interpret=interpret)
+            float(dims[1]), fp.cam_pos[1], **common, interpret=interpret,
+            max_col_colors=max_col_colors if argb_mode else 0,
+            skybox_argb=skybox_argb)
     else:
         raybuf_idx = raymarch.phase1(
             wa, static, dda, alive0, fp.lod_distances, fp.far_clip,
             jnp.float32(dims[1]), fp.cam_pos[1], **common)
-    # reproject in color-INDEX space first, then resolve only the screen's 2M
-    # pixels — resolving the whole raybuffer would be an ~18M-row gather
-    if backend == "pallas":
-        screen_idx = reproject.reproject_pallas(
-            raybuf_idx, tri_a, tri_b, tri_c, ray_count, ray_base, active,
-            width=width, height=height, skybox=jnp.int32(0),
+    if argb_mode:
+        # phase 1 already wrote final ARGB — sample it and we're done (no
+        # 2M-element color resolve; a flat ~75ms on v5e at 1080p)
+        rb_bits = jax.lax.bitcast_convert_type(raybuf_idx, jnp.int32)
+        screen_bits = reproject.reproject_pallas(
+            rb_bits, tri_a, tri_b, tri_c, ray_count, ray_base, active,
+            width=width, height=height,
+            skybox=jax.lax.bitcast_convert_type(
+                jnp.uint32(skybox_argb), jnp.int32),
             interpret=interpret)
+        screen = jax.lax.bitcast_convert_type(screen_bits, jnp.uint32)
     else:
-        screen_idx = reproject.reproject.__wrapped__(
-            raybuf_idx, tri_a, tri_b, tri_c, ray_count, ray_base, active,
-            width=width, height=height, skybox=jnp.int32(0))
-    screen = raymarch.resolve_colors(screen_idx, wa.colors)
+        # reproject in color-INDEX space first, then resolve only the screen's
+        # pixels — resolving the whole raybuffer would be an ~18M-row gather
+        if backend == "pallas":
+            screen_idx = reproject.reproject_pallas(
+                raybuf_idx, tri_a, tri_b, tri_c, ray_count, ray_base, active,
+                width=width, height=height, skybox=jnp.int32(0),
+                interpret=interpret)
+        else:
+            screen_idx = reproject.reproject.__wrapped__(
+                raybuf_idx, tri_a, tri_b, tri_c, ray_count, ray_base, active,
+                width=width, height=height, skybox=jnp.int32(0))
+        screen = raymarch.resolve_colors(screen_idx, wa.colors)
     if out_width is not None and (out_width, out_height) != (width, height):
         # native-size upscale of the scaled render (the reference renders through
         # a low-res "fake camera" and lets the GPU blit stretch it,
@@ -85,7 +103,8 @@ class Renderer:
 
     @classmethod
     def create(cls, lods: list[WorldLOD], config: RenderConfig = RenderConfig()):
-        dw = build_device_world(lods, skybox_rgb=config.skybox_rgb)
+        dw = build_device_world(lods, skybox_rgb=config.skybox_rgb,
+                                inline_colors=config.argb_records)
         r = cls(device_world=dw, config=config)
         r._wa = raymarch.world_arrays(dw)
         return r
@@ -163,7 +182,9 @@ class Renderer:
             chunk=cfg.chunk_steps, max_chunks=cfg.max_march_chunks,
             max_runs=self.device_world.max_runs, dims=dims,
             pixel_len=max(rw, rh), width=rw, height=rh, R=R,
-            out_width=cfg.width, out_height=cfg.height, init=init)
+            out_width=cfg.width, out_height=cfg.height, init=init,
+            max_col_colors=self.device_world.max_col_colors,
+            skybox_argb=int(pack_argb(*cfg.skybox_rgb)))
         return screen, argb, (segs, ctxs, vp_screen, cam_data, cam)
 
     def render(self, cam: cm.Camera, return_raybuffers: bool = False):
@@ -174,8 +195,11 @@ class Renderer:
             cfg = self.config
             n_td = segs[0].ray_count + segs[1].ray_count
             n_lr = segs[2].ray_count + segs[3].ray_count
-            argb_np = np.asarray(
-                raymarch.resolve_colors(raybuf_idx, self._wa.colors))
+            if raybuf_idx.dtype == jnp.uint32:  # ARGB mode: already resolved
+                argb_np = np.asarray(raybuf_idx)
+            else:
+                argb_np = np.asarray(
+                    raymarch.resolve_colors(raybuf_idx, self._wa.colors))
             rw, rh = self.render_wh
             td = argb_np[:n_td, :rh]
             lr = argb_np[n_td:n_td + n_lr, :rw]

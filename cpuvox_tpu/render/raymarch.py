@@ -95,8 +95,9 @@ def _small_lut(table, idx, n: int):
     return out
 
 
-def _fetch_columns(wa: WorldArrays, ci, v_valid, iteration_direction, max_runs):
-    """Fetch the visited columns' meta + runs.
+def _fetch_columns(wa: WorldArrays, ci, v_valid, iteration_direction, max_runs,
+                   max_col_colors: int = 0):
+    """Fetch the visited columns' meta + runs (+ inline ARGB colors).
 
     TPU gathers cost per gathered *row*.  With the inline record layout
     (device.py: max_runs <= INLINE_MAX_RUNS) the whole column is ONE row —
@@ -120,6 +121,10 @@ def _fetch_columns(wa: WorldArrays, ci, v_valid, iteration_direction, max_runs):
         cmin = rec[..., 2]
         cmax = rec[..., 3]
         runs_k = rec[..., REC_META:REC_META + max_runs]
+        if max_col_colors:  # ARGB mode: the column's colors ride in the record
+            colors_k = rec[..., REC_META + max_runs:
+                           REC_META + max_runs + max_col_colors]
+            return n_runs, None, color_off, cmin, cmax, runs_k, colors_k
         return n_runs, None, color_off, cmin, cmax, runs_k
 
     rec = wa.col_rec[ci]  # (..., 8)
@@ -793,7 +798,8 @@ march_jit = jax.jit(
 
 def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                   cam_y, iteration_direction, chunk, max_chunks, max_runs, dims,
-                  pixel_len, block_groups=4, interpret=False):
+                  pixel_len, block_groups=4, interpret=False,
+                  max_col_colors: int = 0, skybox_argb: int = 0xFF191919):
     """Phase 1 with the chunk rasterizer as a Pallas TPU kernel (cpuvox_tpu.ops.
     phase1_kernel).  Same DDA roll + gathers as `phase1`; per-ray state and the
     raybuffer live in kernel-friendly (G, 128)-lane layout.
@@ -817,6 +823,7 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
     P = ((pixel_len + 7) // 8) * 8
     C = chunk
     MAXR = max_runs
+    MCC = max_col_colors
     lod_distances = jnp.asarray(lod_distances)
     cam_y_full = jnp.broadcast_to(jnp.asarray(cam_y, jnp.float32), (R,))
 
@@ -906,10 +913,17 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                   + (v_pos[:, :, 0] >> v_lod) * _small_lut(wa.grid_z, lodc, 8)
                   + (v_pos[:, :, 1] >> v_lod))
             ci = jnp.where(v_valid, ci, 0)
+            colors_k = None
             if ablate2 == "nogather":
                 zc = jnp.zeros((chunk, Rk), jnp.int32)
                 n_runs, color_off, cmin, cmax = zc, zc, zc, zc
                 runs_k = jnp.zeros((chunk, Rk, MAXR), jnp.int32)
+                if MCC:
+                    colors_k = jnp.zeros((chunk, Rk, MCC), jnp.int32)
+            elif MCC:
+                (n_runs, run_off, color_off, cmin, cmax, runs_k,
+                 colors_k) = _fetch_columns(
+                    wa, ci, v_valid, iteration_direction, MAXR, MCC)
             else:
                 n_runs, run_off, color_off, cmin, cmax, runs_k = _fetch_columns(
                     wa, ci, v_valid, iteration_direction, MAXR)  # (C, Rk, MAXR)
@@ -936,12 +950,15 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                 "cmax": to_cg(cmax),
             }
             runs_r = runs_k.reshape(C, G, 128, MAXR).transpose(0, 3, 1, 2)
+            colors_r = (colors_k.reshape(C, G, 128, MCC).transpose(0, 3, 1, 2)
+                        if MCC else None)
 
             raybuf, state = pk.rasterize_chunk(
                 visits_d, meta, runs_r, consts, raybuf, state,
                 C=C, MAXR=MAXR, BG=BG, P=P,
                 iteration_direction=iteration_direction,
-                world_max_y=float(world_max_y), interpret=interpret)
+                world_max_y=float(world_max_y), interpret=interpret,
+                colors=colors_r, MCC=MCC)
             return i + 1, dda, march_alive, raybuf, state
 
         init = (i_total, dda_c, march_alive, raybuf, state)
@@ -973,13 +990,22 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
     rb = out_rows[:, :pixel_len]
     pix = jnp.arange(pixel_len, dtype=jnp.int32)[None, :]
     in_range = (pix >= static.orig_min[:, None]) & (pix <= static.orig_max[:, None])
+    if MCC:
+        # ARGB mode: written texels carry colors with the alpha MSB cleared —
+        # restore it; unwritten in-range -> skybox ARGB, out-of-range -> magenta
+        rb_u = jnp.bitwise_or(rb.astype(jnp.uint32), jnp.uint32(0x80000000))
+        return jnp.where(rb < 0,
+                         jnp.where(in_range, jnp.uint32(skybox_argb),
+                                   jnp.uint32(0xFFFF1493)),
+                         rb_u)
     return jnp.where((rb < 0) & in_range, 0, rb)
 
 
 march_pallas_jit = jax.jit(
     phase1_pallas,
     static_argnames=("world_max_y", "iteration_direction", "chunk", "max_chunks",
-                     "max_runs", "dims", "pixel_len", "block_groups", "interpret"))
+                     "max_runs", "dims", "pixel_len", "block_groups", "interpret",
+                     "max_col_colors", "skybox_argb"))
 
 
 def resolve_colors(raybuf_idx, colors, debug_magenta=np.uint32(0xFFFF1493)):

@@ -71,3 +71,21 @@ def test_pallas_lod_chain():
     ps, (ptd, plr, *_) = outs["pallas"]
     assert np.array_equal(xtd, ptd)
     assert np.array_equal(xlr, plr)
+
+
+def test_pallas_argb_records_matches_xla():
+    """Opt-in ARGB record mode (inline colors, phase 1 writes final pixels)
+    must render identically to the index+resolve path."""
+    w = scenes.random_world(n=300, seed=5)
+    cam = cm.Camera(position=(8, 10, 8), pitch_deg=25.0, yaw_deg=70.0,
+                    screen=SCREEN)
+    cfg_argb = RenderConfig(width=SCREEN[0], height=SCREEN[1], chunk_steps=8,
+                            max_march_chunks=64, backend="pallas",
+                            pallas_interpret=True, argb_records=True)
+    cfg_ref = RenderConfig(width=SCREEN[0], height=SCREEN[1], chunk_steps=8,
+                           max_march_chunks=64, backend="xla")
+    ra = Renderer.create([w] * 6, cfg_argb)
+    assert ra.device_world.max_col_colors > 0, "ARGB mode did not engage"
+    sa = ra.render(cam)
+    sr = Renderer.create([w] * 6, cfg_ref).render(cam)
+    assert np.array_equal(sa, sr)
