@@ -145,3 +145,210 @@ def animate_heights(spec: SurfaceWorldSpec, base_top, t):
     wave = (jnp.sin(xs * 0.05 + t * 2.0) * jnp.cos(zs * 0.07 + t * 1.3) * amp)
     return jnp.clip(base_top + jnp.round(wave).astype(jnp.int32),
                     spec.depth, Y - 2)
+
+
+# --------------------------------------------------------------- general edits
+#
+# The reference's World.SetVoxelColumn (World.cs:151) replaces one column's RLE
+# data in place (unused by its app — editing is an explicit non-goal there,
+# README.md:63).  The TPU-native equivalent below is a fully general editable
+# world: every column owns a fixed-capacity record slot in the renderer's
+# inline layout (render/device.py), so `set_voxel_column` is a jitted scatter
+# and arbitrary occupancy/color edits stay on device.  LOD0-only by design
+# (pair with lod_distances = inf like tests/scenes.frame_setup's default).
+
+
+class EditableWorldSpec(NamedTuple):
+    dims: tuple[int, int, int]
+    max_runs: int  # per-column run capacity (K)
+    col_colors: int  # per-column color capacity (>= max solid voxels/column)
+
+
+class EditableWorld(NamedTuple):
+    """Device pytree: dense per-column records + fixed-stride colors."""
+
+    rec_fwd: jnp.ndarray  # (X*Z, RW) int32
+    rec_rev: jnp.ndarray  # (X*Z, RW) int32
+    colors: jnp.ndarray  # (1 + X*Z*col_colors,) uint32; [0] = skybox
+
+
+def _rec_width(spec: EditableWorldSpec) -> int:
+    return ((4 + spec.max_runs + 7) // 8) * 8
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def column_from_occupancy(spec: EditableWorldSpec, occupancy, argb):
+    """(Y,) bool occupancy + (Y,) uint32 colors -> one record row + color slot.
+
+    Returns (row_fwd (RW,), row_rev (RW,), col_colors (col_colors,) uint32).
+    Runs are emitted top-first (rle layout); colors top-first per solid voxel.
+    Columns needing more than max_runs runs are NOT representable — keep edits
+    within capacity (like any fixed-budget editable world).
+    """
+    X, Y, Z = spec.dims
+    K = spec.max_runs
+    RW = _rec_width(spec)
+    occ = occupancy[::-1]  # top voxel first
+    col = argb[::-1]
+
+    first = jnp.concatenate([jnp.ones(1, bool), occ[1:] != occ[:-1]])
+    run_id = jnp.cumsum(first.astype(jnp.int32)) - 1  # (Y,)
+    n_runs = run_id[-1] + 1
+    rid = jnp.minimum(run_id, K - 1)
+    lengths = jnp.zeros(K, jnp.int32).at[rid].add(1)
+    is_solid = jnp.zeros(K, bool).at[rid].max(occ)
+    solid_before = jnp.cumsum(occ.astype(jnp.int32)) - occ.astype(jnp.int32)
+    cidx = jnp.full(K, 1 << 20, jnp.int32).at[rid].min(
+        jnp.where(occ, solid_before, 1 << 20))
+    cidx = jnp.where(is_solid, cidx, 0)
+    runs = jnp.where(is_solid, (cidx << 16) | lengths,
+                     jnp.int32(-1 << 16) | lengths)
+    kk = jnp.arange(K)
+    runs = jnp.where(kk < n_runs, runs, 0)
+    has_solid = occ.any()
+    n_runs = jnp.where(has_solid, n_runs, 0)  # air-only column: 0 runs
+
+    # reversed run order for the upward iteration direction
+    rev_idx = jnp.where(kk < n_runs, n_runs - 1 - kk, kk)
+    runs_rev = runs[jnp.clip(rev_idx, 0, K - 1)]
+    runs_rev = jnp.where(kk < n_runs, runs_rev, 0)
+
+    ys = jnp.arange(Y, dtype=jnp.int32)
+    cmin = jnp.where(has_solid, jnp.min(jnp.where(occupancy, ys, 1 << 20)), 0)
+    cmax = jnp.where(has_solid,
+                     jnp.max(jnp.where(occupancy, ys + 1, -(1 << 20))), 0)
+
+    # compact solid colors to the front of the column's color slot (top first)
+    tgt = jnp.where(occ, solid_before, spec.col_colors - 1)
+    slot = jnp.zeros(spec.col_colors, jnp.uint32)
+    slot = slot.at[tgt].max(jnp.where(occ, col, 0))
+
+    def row(rr):
+        return jnp.concatenate([
+            jnp.stack([n_runs, jnp.int32(0), cmin, cmax]), rr,
+            jnp.zeros(RW - 4 - K, jnp.int32)])
+
+    return row(runs), row(runs_rev), slot
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def set_voxel_column(spec: EditableWorldSpec, ew: EditableWorld, x, z,
+                     occupancy, argb) -> EditableWorld:
+    """Replace column (x, z) — the SetVoxelColumn equivalent, all on device."""
+    X, Y, Z = spec.dims
+    ci = x * Z + z
+    row_f, row_r, slot = column_from_occupancy(spec, occupancy, argb)
+    coff = 1 + ci * spec.col_colors
+    row_f = row_f.at[1].set(coff)
+    row_r = row_r.at[1].set(coff)
+    return EditableWorld(
+        rec_fwd=ew.rec_fwd.at[ci].set(row_f),
+        rec_rev=ew.rec_rev.at[ci].set(row_r),
+        colors=jax.lax.dynamic_update_slice(ew.colors, slot, (coff,)))
+
+
+def _expand_lod0(w):
+    """WorldLOD -> (col_index, y, argb) voxel soup (host numpy, setup only)."""
+    X, Y, Z = w.dims
+    runs = np.asarray(w.runs)
+    col_runs = np.asarray(w.col_runs)
+    col_off = np.asarray(w.col_offset).astype(np.int64)
+    occupied = np.nonzero(col_runs > 0)[0]
+    if occupied.size == 0:
+        e = np.zeros(0, np.int64)
+        return e, e.copy(), np.zeros(0, np.uint32)
+    starts = col_off[occupied]
+    n = runs.shape[0]
+    colmark = np.zeros(n, np.int64)
+    colmark[starts] = 1
+    col_of = np.cumsum(colmark) - 1
+    col_id = occupied[col_of]
+    lengths = (runs & 0xFFFF).astype(np.int64)
+    cum = np.cumsum(lengths)
+    col_start_cum = (cum[starts] - lengths[starts])[col_of]
+    before = np.concatenate([[0], cum[:-1]]) - col_start_cum
+    y_top = (Y - 1) - before  # first (highest) voxel y of each run
+    sel = np.nonzero((runs >= 0) & (lengths > 0))[0]
+    reps = lengths[sel]
+    rid = np.repeat(sel, reps)
+    k = np.arange(int(reps.sum()), dtype=np.int64) \
+        - np.repeat(np.cumsum(reps) - reps, reps)
+    ys = y_top[rid] - k
+    cols = col_id[rid]
+    cpos = (np.asarray(w.col_color_offset).astype(np.int64)[cols]
+            + (runs[rid] >> 16) + k)
+    return cols, ys, np.asarray(w.colors)[cpos]
+
+
+def editable_from_lod0(w, max_runs: int | None = None,
+                       col_colors: int | None = None):
+    """Static WorldLOD -> (spec, EditableWorld) with per-column fixed slots."""
+    dims = w.dims
+    spec_runs = max_runs or max(int(np.asarray(w.col_runs).max()), 1)
+    X, Y, Z = dims
+    n_cols = X * Z
+    occ = np.zeros((n_cols, Y), bool)
+    col = np.zeros((n_cols, Y), np.uint32)
+    cols, ys, argb = _expand_lod0(w)
+    occ[cols, ys] = True
+    col[cols, ys] = argb
+    ccap = col_colors or max(1, int(occ.sum(axis=1).max()))
+    spec = EditableWorldSpec(dims=tuple(dims), max_runs=spec_runs,
+                             col_colors=ccap)
+    rows_f, rows_r, slots = jax.vmap(
+        lambda o, c: column_from_occupancy(spec, o, c))(
+        jnp.asarray(occ[:, :]), jnp.asarray(col))
+    coffs = 1 + jnp.arange(n_cols, dtype=jnp.int32) * ccap
+    rows_f = rows_f.at[:, 1].set(coffs)
+    rows_r = rows_r.at[:, 1].set(coffs)
+    colors = jnp.concatenate([
+        jnp.array([0xFF191919], jnp.uint32), slots.reshape(-1)])
+    return spec, EditableWorld(rec_fwd=rows_f, rec_rev=rows_r, colors=colors)
+
+
+def editable_world_arrays(spec: EditableWorldSpec,
+                          ew: EditableWorld) -> WorldArrays:
+    """Renderer-compatible arrays (LOD0-only: pair with inf lod_distances)."""
+    X, Y, Z = spec.dims
+    return WorldArrays(
+        col_base=jnp.zeros(8, jnp.int32),
+        grid_z=jnp.full(8, Z, jnp.int32),
+        col_rec=None, runs=None, runs_rev=None,
+        colors=ew.colors,
+        rec_fwd=ew.rec_fwd, rec_rev=ew.rec_rev)
+
+
+def editable_renderer(spec: EditableWorldSpec, ew: EditableWorld, config=None):
+    """A Renderer wired for an EditableWorld (LOD0-only lod distances).
+
+    Swap `renderer._wa = editable_world_arrays(spec, new_ew)` after edits —
+    shapes are fixed, so no recompilation happens.
+    """
+    import dataclasses as _dc
+
+    from cpuvox_tpu.config import RenderConfig
+    from cpuvox_tpu.render import camera as _cm
+    from cpuvox_tpu.render.frame import Renderer
+
+    config = config or RenderConfig(width=640, height=360)
+
+    @_dc.dataclass
+    class _EditableDeviceWorld:
+        dims: tuple
+        max_runs: int
+        max_col_colors: int
+        _colors: object
+
+        @property
+        def colors(self):
+            return self._colors
+
+    r = Renderer.__new__(Renderer)
+    r.device_world = _EditableDeviceWorld(spec.dims, spec.max_runs, 0,
+                                          ew.colors)
+    r.config = config
+    far = float(2 * max(spec.dims))
+    r.lod_distances = np.full(max(config.lod_levels, 1), 4 * far, np.float32)
+    r.far_clip = far
+    r._wa = editable_world_arrays(spec, ew)
+    return r
