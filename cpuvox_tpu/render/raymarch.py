@@ -372,7 +372,13 @@ def _roll_chunk(dda: DDAState, alive, dirs, lod_distances, far_clip, dims, chunk
         alive = alive & ~hit_far
         return (dda, alive), visit
 
-    (dda, alive), visits = jax.lax.scan(body, (dda, alive), None, length=chunk)
+    # unroll=4: the body is ~30 tiny elementwise ops on (R, 2) arrays — per
+    # scan iteration that costs several kernel launches, so unrolling fuses 4
+    # steps per launch.  (A FULL Python unroll fused best on paper but made the
+    # executable so large that queued dispatch through this environment's TPU
+    # tunnel collapsed to ~8 s/frame; scan+unroll keeps the program small.)
+    (dda, alive), visits = jax.lax.scan(body, (dda, alive), None, length=chunk,
+                                        unroll=4)
     return dda, alive, visits
 
 
