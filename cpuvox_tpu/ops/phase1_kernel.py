@@ -119,25 +119,20 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0):
         return clipped, min_lerp, max_lerp
 
     def kernel(*refs):
-        # per-cell visit/meta inputs (grid dim 1 walks the chunk's cells, so each
-        # is a (BG, 1, 128) block — all reads are STATIC; no traced-index sublane
-        # slicing, and Mosaic double-buffers the per-cell DMA behind compute);
-        # then per-ray constants, then the aliased state inputs, then outputs
+        # stk_r: the ONE stacked per-cell block (1, 8+MAXR+MCC, BG, 128) — grid
+        # dim 1 walks the chunk's cells, so each grid step waits on a single
+        # double-buffered DMA; fields are [ids0, ids1, lod, valid, n_runs,
+        # color_off, cmin, cmax, runs..., colors...] (floats bitcast to int32).
+        # Then per-ray constants, then the aliased state inputs, then outputs
         # (same VMEM blocks stay resident across the whole c-sweep — they double
-        # as the cell-loop state carries)
-        (ids0_r, ids1_r, lod_r, valid_r, nruns_r, coloroff_r, cmin_r, cmax_r,
-         runs_r) = refs[:9]
-        pos = 9
-        colors_r = None
-        if MCC:
-            colors_r = refs[pos]
-            pos += 1
-        (pb_p_r, pb_n_r, pb_w_r, pt_p_r, pt_n_r, pt_w_r, pd_p_r, pd_n_r, pd_w_r,
+        # as the cell-loop state carries).
+        (stk_r,
+         pb_p_r, pb_n_r, pb_w_r, pt_p_r, pt_n_r, pt_w_r, pd_p_r, pd_n_r, pd_w_r,
          camy_r, camyn_r, origmin_r, origmax_r,
          raybuf_in, nfpmin_in, nfpmax_in, fbmin_in, fbmax_in, fdmin_in,
          fdmax_in, factive_in, alive_in,
          raybuf_ref, nfpmin_o, nfpmax_o, fbmin_o, fbmax_o, fdmin_o, fdmax_o,
-         factive_o, alive_o) = refs[pos:]
+         factive_o, alive_o) = refs
         c = pl.program_id(1)
 
         @pl.when(c == 0)
@@ -177,15 +172,15 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0):
             fdmax = fdmax_o[...]
             fact = factive_o[...] != 0
             alive = alive_i != 0
-            valid = valid_r[0] != 0
-            nruns = nruns_r[0]
+            valid = stk_r[0, 3] != 0
+            nruns = stk_r[0, 4]
             al = alive & valid
-            ids_l = ids0_r[0]
-            ids_n = ids1_r[0]
-            lod = lod_r[0]
-            coloroff = coloroff_r[0]
-            cmin_f = cmin_r[0].astype(jnp.float32)
-            cmax_f = cmax_r[0].astype(jnp.float32)
+            ids_l = pltpu.bitcast(stk_r[0, 0], jnp.float32)
+            ids_n = pltpu.bitcast(stk_r[0, 1], jnp.float32)
+            lod = stk_r[0, 2]
+            coloroff = stk_r[0, 5]
+            cmin_f = stk_r[0, 6].astype(jnp.float32)
+            cmax_f = stk_r[0, 7].astype(jnp.float32)
 
             nonempty = nruns > 0
             # ---- frustum-vs-column cull (DrawSegmentRayJob.cs:258-281)
@@ -307,7 +302,7 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0):
                  alive_i) = st
                 run_done = run_done_i != 0
                 alive = alive_i != 0
-                run = runs_r[0, k]
+                run = stk_r[0, 8 + k]
                 length = run & 0xFFFF
                 cidx = run >> 16
                 is_air = run < 0
@@ -426,8 +421,8 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0):
                     # in the walk
                     cap_col = jnp.zeros_like(sec_idx)
                     for kk in range(MCC):
-                        cap_col = jnp.where(sec_idx == kk, colors_r[0, kk],
-                                            cap_col)
+                        cap_col = jnp.where(sec_idx == kk,
+                                            stk_r[0, 8 + MAXR + kk], cap_col)
                     base_col = cidx  # local color base for the walk's select
                 else:
                     cap_col = coloroff + sec_idx
@@ -491,9 +486,9 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0):
                         if MCC:  # per-pixel select from the inline colors
                             val = jnp.zeros_like(cl)
                             for kk in range(MCC):
-                                val = jnp.where(cl == kk,
-                                                colors_r[0, kk][:, None, :],
-                                                val)
+                                val = jnp.where(
+                                    cl == kk,
+                                    stk_r[0, 8 + MAXR + kk][:, None, :], val)
                         else:
                             val = cl
                         chosen = jnp.where(in_s & ~claimed, val, chosen)
@@ -568,35 +563,30 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0):
     static_argnames=("C", "MAXR", "BG", "P", "iteration_direction",
                      "world_max_y", "interpret", "MCC"))
 def rasterize_chunk(
-    visits,  # dict of (C, G, 128) arrays: ids0, ids1, lod, valid (cell-major)
-    meta,  # dict of (C, G, 128): n_runs, color_off, cmin, cmax
-    runs,  # (C, MAXR, G, 128) int32 (cell-major, run second)
+    stacked,  # (C, 8 + MAXR + MCC, G, 128) int32: the per-cell field stack
+              # [ids0, ids1, lod, valid, n_runs, color_off, cmin, cmax,
+              #  runs..., inline colors...] (float fields bitcast)
     consts,  # dict of (G, 128): pb_p..pd_w (9), cam_y, cam_y_norm
     raybuf,  # (G, P, 128) int32
     state,  # dict of (G, 128): nfp_min, nfp_max, fb_min, fb_max, fdir_min,
             #                   fdir_max, f_active, alive (int32)
     C: int, MAXR: int, BG: int, P: int, iteration_direction: int,
-    world_max_y: float, interpret: bool = False,
-    colors=None,  # (C, MCC, G, 128) int32 inline ARGB (MSB cleared) or None
-    MCC: int = 0,
+    world_max_y: float, interpret: bool = False, MCC: int = 0,
 ):
     G = raybuf.shape[0]
     assert G % BG == 0, (G, BG)
+    NF = 8 + MAXR + MCC
+    assert stacked.shape == (C, NF, G, 128), (stacked.shape, C, NF, G)
     # grid: (ray blocks, cells) — cells minor, so the raybuffer + state blocks of
     # a ray block stay VMEM-resident across the whole c-sweep while the per-cell
-    # visit blocks stream through double-buffered DMA
+    # stack block streams through ONE double-buffered DMA per step
     grid = (G // BG, C)
 
     kern = _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y,
                         MCC=MCC)
 
-    def bs_cg():  # (C, G, 128) -> (1, BG, 128) per-cell slice (cell axis LEADS so
-        # the block's last two dims stay (8-mult, 128) for Mosaic)
-        return pl.BlockSpec((1, BG, 128), lambda i, c: (c, i, 0),
-                            memory_space=pltpu.VMEM)
-
-    def bs_runs():  # (C, MAXR, G, 128) -> (1, MAXR, BG, 128)
-        return pl.BlockSpec((1, MAXR, BG, 128), lambda i, c: (c, 0, i, 0),
+    def bs_stk():  # (C, NF, G, 128) -> (1, NF, BG, 128) per-cell slice
+        return pl.BlockSpec((1, NF, BG, 128), lambda i, c: (c, 0, i, 0),
                             memory_space=pltpu.VMEM)
 
     def bs_g():  # (G, 128) -> (BG, 128), resident across the c-sweep
@@ -607,17 +597,10 @@ def rasterize_chunk(
         return pl.BlockSpec((BG, P, 128), lambda i, c: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    def bs_colors():  # (C, MCC, G, 128) -> (1, MCC, BG, 128)
-        return pl.BlockSpec((1, MCC, BG, 128), lambda i, c: (c, 0, i, 0),
-                            memory_space=pltpu.VMEM)
-
     state_keys = ("nfp_min", "nfp_max", "fb_min", "fb_max", "fdir_min",
                   "fdir_max", "f_active", "alive")
-    color_in = [colors] if MCC else []
     inputs = [
-        visits["ids0"], visits["ids1"], visits["lod"], visits["valid"],
-        meta["n_runs"], meta["color_off"], meta["cmin"], meta["cmax"], runs,
-        *color_in,
+        stacked,
         consts["pb_p"], consts["pb_n"], consts["pb_w"],
         consts["pt_p"], consts["pt_n"], consts["pt_w"],
         consts["pd_p"], consts["pd_n"], consts["pd_w"],
@@ -625,20 +608,17 @@ def rasterize_chunk(
         consts["orig_min"], consts["orig_max"],
         raybuf, *(state[k] for k in state_keys),
     ]
-    in_specs = ([bs_cg()] * 8 + [bs_runs()]
-                + ([bs_colors()] if MCC else [])
-                + [bs_g()] * 13 + [bs_rb()] + [bs_g()] * 8)
+    in_specs = ([bs_stk()] + [bs_g()] * 13 + [bs_rb()] + [bs_g()] * 8)
     out_specs = [bs_rb()] + [bs_g()] * 8
     out_shape = [jax.ShapeDtypeStruct(raybuf.shape, raybuf.dtype)] + [
         jax.ShapeDtypeStruct((G, 128), state[k].dtype) for k in state_keys]
 
-    # raybuf input -> output 0; state inputs -> outputs 1..8.
+    # raybuf input (14) -> output 0; state inputs 15..22 -> outputs 1..8.
     # (interpret mode doesn't honor aliasing; the kernel's explicit copy-in keeps
     # it correct either way)
-    rb_pos = 22 + (1 if MCC else 0)
-    aliases = {rb_pos: 0}
+    aliases = {14: 0}
     for j in range(8):
-        aliases[rb_pos + 1 + j] = 1 + j
+        aliases[15 + j] = 1 + j
     kwargs = {} if interpret else {"input_output_aliases": aliases}
 
     out = pl.pallas_call(

@@ -943,28 +943,29 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
             def to_cg(x):  # (C, Rk) -> (C, G, 128) — cell-major layout, free
                 return x.reshape(C, G, 128)
 
-            visits_d = {
-                "ids0": to_cg(v_ids[:, :, 0]),
-                "ids1": to_cg(v_ids[:, :, 1]),
-                "lod": to_cg(v_lod),
-                "valid": to_cg(v_valid.astype(jnp.int32)),
-            }
-            meta = {
-                "n_runs": to_cg(n_runs),
-                "color_off": to_cg(color_off),
-                "cmin": to_cg(cmin),
-                "cmax": to_cg(cmax),
-            }
-            runs_r = runs_k.reshape(C, G, 128, MAXR).transpose(0, 3, 1, 2)
-            colors_r = (colors_k.reshape(C, G, 128, MCC).transpose(0, 3, 1, 2)
-                        if MCC else None)
+            def bits(x):  # f32 fields ride the int32 stack bit-exactly
+                return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+            # ONE stacked per-cell input (fields then runs then inline colors):
+            # each pallas grid step then waits on a single per-cell block DMA
+            # instead of nine small ones (DMA latency dominated the kernel)
+            parts = [
+                bits(to_cg(v_ids[:, :, 0])), bits(to_cg(v_ids[:, :, 1])),
+                to_cg(v_lod), to_cg(v_valid.astype(jnp.int32)),
+                to_cg(n_runs), to_cg(color_off), to_cg(cmin), to_cg(cmax),
+                runs_k.reshape(C, G, 128, MAXR).transpose(0, 3, 1, 2),
+            ]
+            if MCC:
+                parts.append(
+                    colors_k.reshape(C, G, 128, MCC).transpose(0, 3, 1, 2))
+            stacked = jnp.concatenate(
+                [p[:, None] if p.ndim == 3 else p for p in parts], axis=1)
 
             raybuf, state = pk.rasterize_chunk(
-                visits_d, meta, runs_r, consts, raybuf, state,
+                stacked, consts, raybuf, state,
                 C=C, MAXR=MAXR, BG=BG, P=P,
                 iteration_direction=iteration_direction,
-                world_max_y=float(world_max_y), interpret=interpret,
-                colors=colors_r, MCC=MCC)
+                world_max_y=float(world_max_y), interpret=interpret, MCC=MCC)
             return i + 1, dda, march_alive, raybuf, state
 
         init = (i_total, dda_c, march_alive, raybuf, state)
