@@ -113,11 +113,16 @@ def run_rollout(n_cams=64, wh=(256, 256), n_steps=4):
         rng = np.random.default_rng(1000 + step)
         for i in range(n_cams):
             ang = 360.0 * i / n_cams + step * 7.0
+            # alternate pitch sign deterministically: the two iteration-direction
+            # launch groups stay exactly n_cams/2 each, so bucket shapes (and the
+            # compiled executables) are identical across steps
+            pitch = float(rng.uniform(5, 60)) if i % 2 else float(
+                rng.uniform(-20, -5))
             out.append(cm.Camera(
                 position=(dims[0] * (0.2 + 0.6 * rng.random()),
                           dims[1] * (0.4 + 0.4 * rng.random()),
                           dims[2] * (0.2 + 0.6 * rng.random())),
-                pitch_deg=float(rng.uniform(-20, 60)), yaw_deg=ang, screen=wh))
+                pitch_deg=pitch, yaw_deg=ang, screen=wh))
         return out
 
     log("rollout warmup (compiles both iteration directions)...")

