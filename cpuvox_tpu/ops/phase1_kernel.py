@@ -152,408 +152,415 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0):
 
         @pl.when(jnp.max(alive_i) > 0)
         def _cell():
-            pb_p = pb_p_r[...]
-            pb_n = pb_n_r[...]
-            pb_w = pb_w_r[...]
-            pt_p = pt_p_r[...]
-            pt_n = pt_n_r[...]
-            pt_w = pt_w_r[...]
-            pd_p = pd_p_r[...]
-            pd_n = pd_n_r[...]
-            pd_w = pd_w_r[...]
-            camy = camy_r[...]
-            camyn = camyn_r[...]
+            # block-level empty-cell skip: a cell step where no live lane's
+            # column has runs is a provable state no-op (every cull/kill/write
+            # is gated on nonempty), and mill-class worlds are mostly air
+            work = (alive_i != 0) & (stk_r[0, 3] != 0) & (stk_r[0, 4] > 0)
 
-            nfpmin = nfpmin_o[...]
-            nfpmax = nfpmax_o[...]
-            fbmin = fbmin_o[...]
-            fbmax = fbmax_o[...]
-            fdmin = fdmin_o[...]
-            fdmax = fdmax_o[...]
-            fact = factive_o[...] != 0
-            alive = alive_i != 0
-            valid = stk_r[0, 3] != 0
-            nruns = stk_r[0, 4]
-            al = alive & valid
-            ids_l = pltpu.bitcast(stk_r[0, 0], jnp.float32)
-            ids_n = pltpu.bitcast(stk_r[0, 1], jnp.float32)
-            lod = stk_r[0, 2]
-            coloroff = stk_r[0, 5]
-            cmin_f = stk_r[0, 6].astype(jnp.float32)
-            cmax_f = stk_r[0, 7].astype(jnp.float32)
+            @pl.when(jnp.any(work))
+            def _busy():
+                pb_p = pb_p_r[...]
+                pb_n = pb_n_r[...]
+                pb_w = pb_w_r[...]
+                pt_p = pt_p_r[...]
+                pt_n = pt_n_r[...]
+                pt_w = pt_w_r[...]
+                pd_p = pd_p_r[...]
+                pd_n = pd_n_r[...]
+                pd_w = pd_w_r[...]
+                camy = camy_r[...]
+                camyn = camyn_r[...]
 
-            nonempty = nruns > 0
-            # ---- frustum-vs-column cull (DrawSegmentRayJob.cs:258-281)
-            dist_top = jnp.where(fdmax > 0.0, ids_n, ids_l)
-            dist_bot = jnp.where(fdmin < 0.0, ids_n, ids_l)
-            new_max = camy + fdmax * dist_top
-            new_min = camy + fdmin * dist_bot
-            cull = al & nonempty & fact & ((new_min > WMY) | (new_max < 0.0))
-            alive = alive & ~cull
-            skip_col = fact & ((cmin_f > new_max) | (cmax_f < new_min))
-            wbmin = jnp.where(fact, new_min, 0.0)
-            wbmax = jnp.where(fact, new_max, WMY)
-            process = al & ~cull & ~skip_col & nonempty
-
-            # ---- project the world column at both intersections (:289-293)
-            csml_p = pb_p + pd_p * ids_l
-            csml_n = pb_n + pd_n * ids_l
-            csml_w = pb_w + pd_w * ids_l
-            csmn_p = pb_p + pd_p * ids_n
-            csmn_n = pb_n + pd_n * ids_n
-            csmn_w = pb_w + pd_w * ids_n
-            csxl_p = pt_p + pd_p * ids_l
-            csxl_n = pt_n + pd_n * ids_l
-            csxl_w = pt_w + pd_w * ids_l
-            csxn_p = pt_p + pd_p * ids_n
-            csxn_n = pt_n + pd_n * ids_n
-            csxn_w = pt_w + pd_w * ids_n
-
-            # ---- writable-frustum re-clip when dirty (:295-422)
-            do_clip = process & (ids_l > 2.0) & ~fact
-            cl_clipped, cl_min, cl_max = clip_world_bounds(
-                csml_p, csml_w, csxl_p, csxl_w, fbmin, fbmax)
-            cn_clipped, cn_min, cn_max = clip_world_bounds(
-                csmn_p, csmn_w, csxn_p, csxn_w, fbmin, fbmax)
-            kill_clip = do_clip & cl_clipped & cn_clipped
-            alive = alive & ~kill_clip
-            process = process & ~kill_clip
-            do_clip = do_clip & ~kill_clip
-            case_l = cl_clipped
-            case_n = ~cl_clipped & cn_clipped
-
-            sel_min = jnp.where(case_l, cn_min,
-                                jnp.where(case_n, cl_min,
-                                          jnp.minimum(cl_min, cn_min)))
-            sel_max = jnp.where(case_l, cn_max,
-                                jnp.where(case_n, cl_max,
-                                          jnp.maximum(cl_max, cn_max)))
-            wbc_min = WMY * sel_min
-            wbc_max = WMY * sel_max
-            dist_min = jnp.where(case_l, ids_n,
-                                 jnp.where(case_n, ids_l,
-                                           jnp.where(cl_min < cn_min, ids_l,
-                                                     ids_n)))
-            dist_max = jnp.where(case_l, ids_n,
-                                 jnp.where(case_n, ids_l,
-                                           jnp.where(cl_max > cn_max, ids_l,
-                                                     ids_n)))
-            fdmin_new = (wbc_min - camy) / dist_min
-            fdmax_new = (wbc_max - camy) / dist_max
-
-            def sx(base_p, base_w, d_p, d_w, t):
-                return (base_p + d_p * t) / (base_w + d_w * t)
-
-            l_min_x = sx(csml_p, csml_w, csxl_p - csml_p, csxl_w - csml_w, cl_min)
-            l_max_x = sx(csml_p, csml_w, csxl_p - csml_p, csxl_w - csml_w, cl_max)
-            n_min_x = sx(csmn_p, csmn_w, csxn_p - csmn_p, csxn_w - csmn_w, cn_min)
-            n_max_x = sx(csmn_p, csmn_w, csxn_p - csmn_p, csxn_w - csmn_w, cn_max)
-            l_lo = jnp.minimum(l_min_x, l_max_x)
-            l_hi = jnp.maximum(l_min_x, l_max_x)
-            n_lo = jnp.minimum(n_min_x, n_max_x)
-            n_hi = jnp.maximum(n_min_x, n_max_x)
-            cs_clip_min = jnp.where(case_l, n_lo,
-                                    jnp.where(case_n, l_lo,
-                                              jnp.minimum(l_lo, n_lo)))
-            cs_clip_max = jnp.where(case_l, n_hi,
-                                    jnp.where(case_n, l_hi,
-                                              jnp.maximum(l_hi, n_hi)))
-
-            wbmin = jnp.where(do_clip, jnp.floor(wbc_min), wbmin)
-            wbmax = jnp.where(do_clip, jnp.ceil(wbc_max), wbmax)
-            fdmin = jnp.where(do_clip, fdmin_new, fdmin)
-            fdmax = jnp.where(do_clip, fdmax_new, fdmax)
-            fact = fact | do_clip
-
-            writable_min = jnp.floor(cs_clip_min).astype(jnp.int32)
-            writable_max = jnp.ceil(cs_clip_max).astype(jnp.int32)
-            kill_miss = do_clip & ((writable_max < nfpmin)
-                                   | (writable_min > nfpmax))
-            alive = alive & ~kill_miss
-            process = process & ~kill_miss
-            do_clip = do_clip & ~kill_miss
-
-            # conservative frustum advance (reference scans to the first unwritten
-            # pixel >= writable_min, :407-415; writable_min itself is conservative)
-            adv_min = do_clip & (writable_min > nfpmin)
-            nfpmin = jnp.where(adv_min, writable_min, nfpmin)
-            adv_max = do_clip & (writable_max < nfpmax)
-            nfpmax = jnp.where(adv_max, writable_max, nfpmax)
-            kill_closed = do_clip & (nfpmin > nfpmax)
-            alive = alive & ~kill_closed
-            process = process & ~kill_closed
-
-            # ---- RLE run iteration (:424-611): sweep RB runs in registers, then
-            # ONE merged tile walk writes every span of the sweep for all groups
-            if iteration_direction > 0:
-                eb_min0 = jnp.full_like(wbmin, WMY)
-                eb_max0 = jnp.full_like(wbmin, WMY)
-            else:
-                eb_min0 = jnp.zeros_like(wbmin)
-                eb_max0 = jnp.zeros_like(wbmin)
-            vshift = _shift_left_one(lod)
-
-            def sweep_one(k, st):
-                """Register-only semantics of one run (side span + cap):
-                geometry, frontier clamps, kill flags; returns draw params.
-                Mask entries of st ride as int32 (Mosaic can't legalize i1
-                vector layouts across scf loop carries)."""
-                (eb_min, eb_max, run_done_i, nfpmin, nfpmax, fbmin, fbmax,
-                 alive_i) = st
-                run_done = run_done_i != 0
+                nfpmin = nfpmin_o[...]
+                nfpmax = nfpmax_o[...]
+                fbmin = fbmin_o[...]
+                fbmax = fbmax_o[...]
+                fdmin = fdmin_o[...]
+                fdmax = fdmax_o[...]
+                fact = factive_o[...] != 0
                 alive = alive_i != 0
-                run = stk_r[0, 8 + k]
-                length = run & 0xFFFF
-                cidx = run >> 16
-                is_air = run < 0
-                k_valid = process & alive & (k < nruns) & ~run_done
+                valid = stk_r[0, 3] != 0
+                nruns = stk_r[0, 4]
+                al = alive & valid
+                ids_l = pltpu.bitcast(stk_r[0, 0], jnp.float32)
+                ids_n = pltpu.bitcast(stk_r[0, 1], jnp.float32)
+                lod = stk_r[0, 2]
+                coloroff = stk_r[0, 5]
+                cmin_f = stk_r[0, 6].astype(jnp.float32)
+                cmax_f = stk_r[0, 7].astype(jnp.float32)
 
-                len_s = (length * vshift).astype(jnp.float32)
+                nonempty = nruns > 0
+                # ---- frustum-vs-column cull (DrawSegmentRayJob.cs:258-281)
+                dist_top = jnp.where(fdmax > 0.0, ids_n, ids_l)
+                dist_bot = jnp.where(fdmin < 0.0, ids_n, ids_l)
+                new_max = camy + fdmax * dist_top
+                new_min = camy + fdmin * dist_bot
+                cull = al & nonempty & fact & ((new_min > WMY) | (new_max < 0.0))
+                alive = alive & ~cull
+                skip_col = fact & ((cmin_f > new_max) | (cmax_f < new_min))
+                wbmin = jnp.where(fact, new_min, 0.0)
+                wbmax = jnp.where(fact, new_max, WMY)
+                process = al & ~cull & ~skip_col & nonempty
+
+                # ---- project the world column at both intersections (:289-293)
+                csml_p = pb_p + pd_p * ids_l
+                csml_n = pb_n + pd_n * ids_l
+                csml_w = pb_w + pd_w * ids_l
+                csmn_p = pb_p + pd_p * ids_n
+                csmn_n = pb_n + pd_n * ids_n
+                csmn_w = pb_w + pd_w * ids_n
+                csxl_p = pt_p + pd_p * ids_l
+                csxl_n = pt_n + pd_n * ids_l
+                csxl_w = pt_w + pd_w * ids_l
+                csxn_p = pt_p + pd_p * ids_n
+                csxn_n = pt_n + pd_n * ids_n
+                csxn_w = pt_w + pd_w * ids_n
+
+                # ---- writable-frustum re-clip when dirty (:295-422)
+                do_clip = process & (ids_l > 2.0) & ~fact
+                cl_clipped, cl_min, cl_max = clip_world_bounds(
+                    csml_p, csml_w, csxl_p, csxl_w, fbmin, fbmax)
+                cn_clipped, cn_min, cn_max = clip_world_bounds(
+                    csmn_p, csmn_w, csxn_p, csxn_w, fbmin, fbmax)
+                kill_clip = do_clip & cl_clipped & cn_clipped
+                alive = alive & ~kill_clip
+                process = process & ~kill_clip
+                do_clip = do_clip & ~kill_clip
+                case_l = cl_clipped
+                case_n = ~cl_clipped & cn_clipped
+
+                sel_min = jnp.where(case_l, cn_min,
+                                    jnp.where(case_n, cl_min,
+                                              jnp.minimum(cl_min, cn_min)))
+                sel_max = jnp.where(case_l, cn_max,
+                                    jnp.where(case_n, cl_max,
+                                              jnp.maximum(cl_max, cn_max)))
+                wbc_min = WMY * sel_min
+                wbc_max = WMY * sel_max
+                dist_min = jnp.where(case_l, ids_n,
+                                     jnp.where(case_n, ids_l,
+                                               jnp.where(cl_min < cn_min, ids_l,
+                                                         ids_n)))
+                dist_max = jnp.where(case_l, ids_n,
+                                     jnp.where(case_n, ids_l,
+                                               jnp.where(cl_max > cn_max, ids_l,
+                                                         ids_n)))
+                fdmin_new = (wbc_min - camy) / dist_min
+                fdmax_new = (wbc_max - camy) / dist_max
+
+                def sx(base_p, base_w, d_p, d_w, t):
+                    return (base_p + d_p * t) / (base_w + d_w * t)
+
+                l_min_x = sx(csml_p, csml_w, csxl_p - csml_p, csxl_w - csml_w, cl_min)
+                l_max_x = sx(csml_p, csml_w, csxl_p - csml_p, csxl_w - csml_w, cl_max)
+                n_min_x = sx(csmn_p, csmn_w, csxn_p - csmn_p, csxn_w - csmn_w, cn_min)
+                n_max_x = sx(csmn_p, csmn_w, csxn_p - csmn_p, csxn_w - csmn_w, cn_max)
+                l_lo = jnp.minimum(l_min_x, l_max_x)
+                l_hi = jnp.maximum(l_min_x, l_max_x)
+                n_lo = jnp.minimum(n_min_x, n_max_x)
+                n_hi = jnp.maximum(n_min_x, n_max_x)
+                cs_clip_min = jnp.where(case_l, n_lo,
+                                        jnp.where(case_n, l_lo,
+                                                  jnp.minimum(l_lo, n_lo)))
+                cs_clip_max = jnp.where(case_l, n_hi,
+                                        jnp.where(case_n, l_hi,
+                                                  jnp.maximum(l_hi, n_hi)))
+
+                wbmin = jnp.where(do_clip, jnp.floor(wbc_min), wbmin)
+                wbmax = jnp.where(do_clip, jnp.ceil(wbc_max), wbmax)
+                fdmin = jnp.where(do_clip, fdmin_new, fdmin)
+                fdmax = jnp.where(do_clip, fdmax_new, fdmax)
+                fact = fact | do_clip
+
+                writable_min = jnp.floor(cs_clip_min).astype(jnp.int32)
+                writable_max = jnp.ceil(cs_clip_max).astype(jnp.int32)
+                kill_miss = do_clip & ((writable_max < nfpmin)
+                                       | (writable_min > nfpmax))
+                alive = alive & ~kill_miss
+                process = process & ~kill_miss
+                do_clip = do_clip & ~kill_miss
+
+                # conservative frustum advance (reference scans to the first unwritten
+                # pixel >= writable_min, :407-415; writable_min itself is conservative)
+                adv_min = do_clip & (writable_min > nfpmin)
+                nfpmin = jnp.where(adv_min, writable_min, nfpmin)
+                adv_max = do_clip & (writable_max < nfpmax)
+                nfpmax = jnp.where(adv_max, writable_max, nfpmax)
+                kill_closed = do_clip & (nfpmin > nfpmax)
+                alive = alive & ~kill_closed
+                process = process & ~kill_closed
+
+                # ---- RLE run iteration (:424-611): sweep RB runs in registers, then
+                # ONE merged tile walk writes every span of the sweep for all groups
                 if iteration_direction > 0:
-                    eb_max_n = eb_min
-                    eb_min_n = eb_min - len_s
+                    eb_min0 = jnp.full_like(wbmin, WMY)
+                    eb_max0 = jnp.full_like(wbmin, WMY)
                 else:
-                    eb_min_n = eb_max
-                    eb_max_n = eb_min_n + len_s
-                eb_min = jnp.where(k_valid, eb_min_n, eb_min)
-                eb_max = jnp.where(k_valid, eb_max_n, eb_max)
+                    eb_min0 = jnp.zeros_like(wbmin)
+                    eb_max0 = jnp.zeros_like(wbmin)
+                vshift = _shift_left_one(lod)
 
-                above = eb_min > wbmax
-                below = eb_max < wbmin
-                if iteration_direction > 0:
-                    brk = k_valid & ~is_air & below
-                else:
-                    brk = k_valid & ~is_air & above
-                run_done = run_done | brk
-                draw = k_valid & ~is_air & ~above & ~below
+                def sweep_one(k, st):
+                    """Register-only semantics of one run (side span + cap):
+                    geometry, frontier clamps, kill flags; returns draw params.
+                    Mask entries of st ride as int32 (Mosaic can't legalize i1
+                    vector layouts across scf loop carries)."""
+                    (eb_min, eb_max, run_done_i, nfpmin, nfpmax, fbmin, fbmax,
+                     alive_i) = st
+                    run_done = run_done_i != 0
+                    alive = alive_i != 0
+                    run = stk_r[0, 8 + k]
+                    length = run & 0xFFFF
+                    cidx = run >> 16
+                    is_air = run < 0
+                    k_valid = process & alive & (k < nruns) & ~run_done
 
-                portion_bottom = eb_min / WMY
-                portion_top = eb_max / WMY
-                cfb_p = csml_p + (csxl_p - csml_p) * portion_bottom
-                cfb_n = csml_n + (csxl_n - csml_n) * portion_bottom
-                cfb_w = csml_w + (csxl_w - csml_w) * portion_bottom
-                cft_p = csml_p + (csxl_p - csml_p) * portion_top
-                cft_n = csml_n + (csxl_n - csml_n) * portion_top
-                cft_w = csml_w + (csxl_w - csml_w) * portion_top
+                    len_s = (length * vshift).astype(jnp.float32)
+                    if iteration_direction > 0:
+                        eb_max_n = eb_min
+                        eb_min_n = eb_min - len_s
+                    else:
+                        eb_min_n = eb_max
+                        eb_max_n = eb_min_n + len_s
+                    eb_min = jnp.where(k_valid, eb_min_n, eb_min)
+                    eb_max = jnp.where(k_valid, eb_max_n, eb_max)
 
-                # --- side span (:484-542): near clip with uv interpolation
-                u_a = length.astype(jnp.float32)
-                u_b = jnp.zeros_like(u_a)
-                a_behind = cfb_n <= 0.0
-                b_behind = cft_n <= 0.0
-                vis = ~(a_behind & b_behind)
-                v_a = cft_n / (cft_n - cfb_n)
-                v_b = cfb_n / (cfb_n - cft_n)
-                clip_a = a_behind & ~b_behind
-                clip_b = b_behind & ~a_behind
-                fa_p = jnp.where(clip_a, cft_p + (cfb_p - cft_p) * v_a, cfb_p)
-                fa_w = jnp.where(clip_a, cft_w + (cfb_w - cft_w) * v_a, cfb_w)
-                u_a2 = jnp.where(clip_a, u_b + (u_a - u_b) * v_a, u_a)
-                fb2_p = jnp.where(clip_b, cfb_p + (cft_p - cfb_p) * v_b, cft_p)
-                fb2_w = jnp.where(clip_b, cfb_w + (cft_w - cfb_w) * v_b, cft_w)
-                u_b2 = jnp.where(clip_b, u_a + (u_b - u_a) * v_b, u_b)
+                    above = eb_min > wbmax
+                    below = eb_max < wbmin
+                    if iteration_direction > 0:
+                        brk = k_valid & ~is_air & below
+                    else:
+                        brk = k_valid & ~is_air & above
+                    run_done = run_done | brk
+                    draw = k_valid & ~is_air & ~above & ~below
 
-                side = draw & vis
-                uva0 = 1.0 / fa_w
-                uva1 = u_a2 / fa_w
-                uvb0 = 1.0 / fb2_w
-                uvb1 = u_b2 / fb2_w
-                rbf_a = fa_p / fa_w
-                rbf_b = fb2_p / fb2_w
-                flip = rbf_a > rbf_b
-                rbf_lo = jnp.where(flip, rbf_b, rbf_a)
-                rbf_hi = jnp.where(flip, rbf_a, rbf_b)
-                uvlo0 = jnp.where(flip, uvb0, uva0)
-                uvlo1 = jnp.where(flip, uvb1, uva1)
-                uvhi0 = jnp.where(flip, uva0, uvb0)
-                uvhi1 = jnp.where(flip, uva1, uvb1)
-                rb_min = jnp.round(rbf_lo).astype(jnp.int32)
-                rb_max = jnp.round(rbf_hi).astype(jnp.int32)
-                overlap = side & (rb_max >= nfpmin) & (rb_min <= nfpmax)
-                rb_min2, rb_max2, (nfpmin, nfpmax, fbmin, fbmax) = \
-                    reduce_pixel_horizon(rb_min, rb_max, overlap,
-                                         (nfpmin, nfpmax, fbmin, fbmax))
-                killed = overlap & (nfpmin > nfpmax)
-                alive = alive & ~killed
+                    portion_bottom = eb_min / WMY
+                    portion_top = eb_max / WMY
+                    cfb_p = csml_p + (csxl_p - csml_p) * portion_bottom
+                    cfb_n = csml_n + (csxl_n - csml_n) * portion_bottom
+                    cfb_w = csml_w + (csxl_w - csml_w) * portion_bottom
+                    cft_p = csml_p + (csxl_p - csml_p) * portion_top
+                    cft_n = csml_n + (csxl_n - csml_n) * portion_top
+                    cft_w = csml_w + (csxl_w - csml_w) * portion_top
 
-                # --- top/bottom cap (:544-610)
-                live = draw & alive
-                top_cap = portion_top < camyn
-                bot_cap = ~top_cap & (portion_bottom > camyn)
-                skip_top = top_cap & (eb_max > wbmax)
-                skip_bot = bot_cap & (eb_min < wbmin)
-                cap = live & ((top_cap & ~skip_top) | (bot_cap & ~skip_bot))
-                sec_idx = jnp.where(top_cap, cidx, cidx + length - 1)
-                portion_cap = jnp.where(top_cap, portion_top, portion_bottom)
-                sa_p = csmn_p + (csxn_p - csmn_p) * portion_cap
-                sa_n = csmn_n + (csxn_n - csmn_n) * portion_cap
-                sa_w = csmn_w + (csxn_w - csmn_w) * portion_cap
-                sb_p = jnp.where(top_cap, cft_p, cfb_p)
-                sb_n = jnp.where(top_cap, cft_n, cfb_n)
-                sb_w = jnp.where(top_cap, cft_w, cfb_w)
+                    # --- side span (:484-542): near clip with uv interpolation
+                    u_a = length.astype(jnp.float32)
+                    u_b = jnp.zeros_like(u_a)
+                    a_behind = cfb_n <= 0.0
+                    b_behind = cft_n <= 0.0
+                    vis = ~(a_behind & b_behind)
+                    v_a = cft_n / (cft_n - cfb_n)
+                    v_b = cfb_n / (cfb_n - cft_n)
+                    clip_a = a_behind & ~b_behind
+                    clip_b = b_behind & ~a_behind
+                    fa_p = jnp.where(clip_a, cft_p + (cfb_p - cft_p) * v_a, cfb_p)
+                    fa_w = jnp.where(clip_a, cft_w + (cfb_w - cft_w) * v_a, cfb_w)
+                    u_a2 = jnp.where(clip_a, u_b + (u_a - u_b) * v_a, u_a)
+                    fb2_p = jnp.where(clip_b, cfb_p + (cft_p - cfb_p) * v_b, cft_p)
+                    fb2_w = jnp.where(clip_b, cfb_w + (cft_w - cfb_w) * v_b, cft_w)
+                    u_b2 = jnp.where(clip_b, u_a + (u_b - u_a) * v_b, u_b)
 
-                a2_behind = sa_n <= 0.0
-                b2_behind = sb_n <= 0.0
-                vis2 = ~(a2_behind & b2_behind)
-                v2a = sb_n / (sb_n - sa_n)
-                v2b = sa_n / (sa_n - sb_n)
-                c2a = a2_behind & ~b2_behind
-                c2b = b2_behind & ~a2_behind
-                sa2_p = jnp.where(c2a, sb_p + (sa_p - sb_p) * v2a, sa_p)
-                sa2_w = jnp.where(c2a, sb_w + (sa_w - sb_w) * v2a, sa_w)
-                sb2_p = jnp.where(c2b, sa_p + (sb_p - sa_p) * v2b, sb_p)
-                sb2_w = jnp.where(c2b, sa_w + (sb_w - sa_w) * v2b, sb_w)
-                cap = cap & vis2
-                r2a = jnp.round(sa2_p / sa2_w)
-                r2b = jnp.round(sb2_p / sb2_w)
-                rb2_min = jnp.minimum(r2a, r2b).astype(jnp.int32)
-                rb2_max = jnp.maximum(r2a, r2b).astype(jnp.int32)
-                overlap2 = cap & (rb2_max >= nfpmin) & (rb2_min <= nfpmax)
-                rb2_min2, rb2_max2, (nfpmin, nfpmax, fbmin, fbmax) = \
-                    reduce_pixel_horizon(rb2_min, rb2_max, overlap2,
-                                         (nfpmin, nfpmax, fbmin, fbmax))
-                killed2 = overlap2 & (nfpmin > nfpmax)
-                alive = alive & ~killed2
+                    side = draw & vis
+                    uva0 = 1.0 / fa_w
+                    uva1 = u_a2 / fa_w
+                    uvb0 = 1.0 / fb2_w
+                    uvb1 = u_b2 / fb2_w
+                    rbf_a = fa_p / fa_w
+                    rbf_b = fb2_p / fb2_w
+                    flip = rbf_a > rbf_b
+                    rbf_lo = jnp.where(flip, rbf_b, rbf_a)
+                    rbf_hi = jnp.where(flip, rbf_a, rbf_b)
+                    uvlo0 = jnp.where(flip, uvb0, uva0)
+                    uvlo1 = jnp.where(flip, uvb1, uva1)
+                    uvhi0 = jnp.where(flip, uva0, uvb0)
+                    uvhi1 = jnp.where(flip, uva1, uvb1)
+                    rb_min = jnp.round(rbf_lo).astype(jnp.int32)
+                    rb_max = jnp.round(rbf_hi).astype(jnp.int32)
+                    overlap = side & (rb_max >= nfpmin) & (rb_min <= nfpmax)
+                    rb_min2, rb_max2, (nfpmin, nfpmax, fbmin, fbmax) = \
+                        reduce_pixel_horizon(rb_min, rb_max, overlap,
+                                             (nfpmin, nfpmax, fbmin, fbmax))
+                    killed = overlap & (nfpmin > nfpmax)
+                    alive = alive & ~killed
 
-                if MCC:
-                    # ARGB mode: resolve the cap color now (register select over
-                    # the column's inline colors); side spans resolve per pixel
-                    # in the walk
-                    cap_col = jnp.zeros_like(sec_idx)
-                    for kk in range(MCC):
-                        cap_col = jnp.where(sec_idx == kk,
-                                            stk_r[0, 8 + MAXR + kk], cap_col)
-                    base_col = cidx  # local color base for the walk's select
-                else:
-                    cap_col = coloroff + sec_idx
-                    base_col = coloroff + cidx
-                params = dict(
-                    overlap=overlap, rb_min=rb_min2, rb_max=rb_max2,
-                    rbf_lo=rbf_lo, inv_span=1.0 / (rbf_hi - rbf_lo),
-                    uvlo0=uvlo0, uvlo1=uvlo1, uvhi0=uvhi0, uvhi1=uvhi1,
-                    base_col=base_col, len_m1=length - 1,
-                    overlap2=overlap2, rb2_min=rb2_min2, rb2_max=rb2_max2,
-                    cap_col=cap_col,
-                )
-                return (eb_min, eb_max, run_done.astype(jnp.int32), nfpmin,
-                        nfpmax, fbmin, fbmax, alive.astype(jnp.int32)), params
+                    # --- top/bottom cap (:544-610)
+                    live = draw & alive
+                    top_cap = portion_top < camyn
+                    bot_cap = ~top_cap & (portion_bottom > camyn)
+                    skip_top = top_cap & (eb_max > wbmax)
+                    skip_bot = bot_cap & (eb_min < wbmin)
+                    cap = live & ((top_cap & ~skip_top) | (bot_cap & ~skip_bot))
+                    sec_idx = jnp.where(top_cap, cidx, cidx + length - 1)
+                    portion_cap = jnp.where(top_cap, portion_top, portion_bottom)
+                    sa_p = csmn_p + (csxn_p - csmn_p) * portion_cap
+                    sa_n = csmn_n + (csxn_n - csmn_n) * portion_cap
+                    sa_w = csmn_w + (csxn_w - csmn_w) * portion_cap
+                    sb_p = jnp.where(top_cap, cft_p, cfb_p)
+                    sb_n = jnp.where(top_cap, cft_n, cfb_n)
+                    sb_w = jnp.where(top_cap, cft_w, cfb_w)
 
-            def merged_walk(slots, wrote):
-                """ONE tile walk writing every span of the sweep, all BG groups
-                at once.  First-covering-wins in reference draw order replaces
-                the sequential written-mask exactly (writes never overwrite)."""
-                if ABLATE == "nowalk":
-                    return wrote
-                # vector-combine all slot bounds first: exactly TWO
-                # vector->scalar reductions per walk
-                lo_v = jnp.full((BG, 128), BIG, jnp.int32)
-                hi_v = jnp.full((BG, 128), -1, jnp.int32)
-                for prm in slots:
-                    lo_v = jnp.minimum(lo_v, jnp.where(
-                        prm["overlap"], prm["rb_min"], BIG))
-                    hi_v = jnp.maximum(hi_v, jnp.where(
-                        prm["overlap"], prm["rb_max"], -1))
-                    lo_v = jnp.minimum(lo_v, jnp.where(
-                        prm["overlap2"], prm["rb2_min"], BIG))
-                    hi_v = jnp.maximum(hi_v, jnp.where(
-                        prm["overlap2"], prm["rb2_max"], -1))
-                lo = jnp.maximum(jnp.min(lo_v), 0) & -8
-                hi = jnp.minimum(jnp.max(hi_v), P - 1)
+                    a2_behind = sa_n <= 0.0
+                    b2_behind = sb_n <= 0.0
+                    vis2 = ~(a2_behind & b2_behind)
+                    v2a = sb_n / (sb_n - sa_n)
+                    v2b = sa_n / (sa_n - sb_n)
+                    c2a = a2_behind & ~b2_behind
+                    c2b = b2_behind & ~a2_behind
+                    sa2_p = jnp.where(c2a, sb_p + (sa_p - sb_p) * v2a, sa_p)
+                    sa2_w = jnp.where(c2a, sb_w + (sa_w - sb_w) * v2a, sa_w)
+                    sb2_p = jnp.where(c2b, sa_p + (sb_p - sa_p) * v2b, sb_p)
+                    sb2_w = jnp.where(c2b, sa_w + (sb_w - sa_w) * v2b, sb_w)
+                    cap = cap & vis2
+                    r2a = jnp.round(sa2_p / sa2_w)
+                    r2b = jnp.round(sb2_p / sb2_w)
+                    rb2_min = jnp.minimum(r2a, r2b).astype(jnp.int32)
+                    rb2_max = jnp.maximum(r2a, r2b).astype(jnp.int32)
+                    overlap2 = cap & (rb2_max >= nfpmin) & (rb2_min <= nfpmax)
+                    rb2_min2, rb2_max2, (nfpmin, nfpmax, fbmin, fbmax) = \
+                        reduce_pixel_horizon(rb2_min, rb2_max, overlap2,
+                                             (nfpmin, nfpmax, fbmin, fbmax))
+                    killed2 = overlap2 & (nfpmin > nfpmax)
+                    alive = alive & ~killed2
 
-                def wcond(st):
-                    w, _ = st
-                    return w <= hi
+                    if MCC:
+                        # ARGB mode: resolve the cap color now (register select over
+                        # the column's inline colors); side spans resolve per pixel
+                        # in the walk
+                        cap_col = jnp.zeros_like(sec_idx)
+                        for kk in range(MCC):
+                            cap_col = jnp.where(sec_idx == kk,
+                                                stk_r[0, 8 + MAXR + kk], cap_col)
+                        base_col = cidx  # local color base for the walk's select
+                    else:
+                        cap_col = coloroff + sec_idx
+                        base_col = coloroff + cidx
+                    params = dict(
+                        overlap=overlap, rb_min=rb_min2, rb_max=rb_max2,
+                        rbf_lo=rbf_lo, inv_span=1.0 / (rbf_hi - rbf_lo),
+                        uvlo0=uvlo0, uvlo1=uvlo1, uvhi0=uvhi0, uvhi1=uvhi1,
+                        base_col=base_col, len_m1=length - 1,
+                        overlap2=overlap2, rb2_min=rb2_min2, rb2_max=rb2_max2,
+                        cap_col=cap_col,
+                    )
+                    return (eb_min, eb_max, run_done.astype(jnp.int32), nfpmin,
+                            nfpmax, fbmin, fbmax, alive.astype(jnp.int32)), params
 
-                def wbody(st):
-                    w, wrote = st
-                    tile = raybuf_ref[:, pl.ds(w, 8), :]  # (BG, 8, 128)
-                    rows_i = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-                              + w)[None]
-                    rows_f = rows_i.astype(jnp.float32)
-                    chosen = jnp.zeros_like(tile)
-                    claimed = jnp.zeros(tile.shape, jnp.bool_)
+                def merged_walk(slots, wrote):
+                    """ONE tile walk writing every span of the sweep, all BG groups
+                    at once.  First-covering-wins in reference draw order replaces
+                    the sequential written-mask exactly (writes never overwrite)."""
+                    if ABLATE == "nowalk":
+                        return wrote
+                    # vector-combine all slot bounds first: exactly TWO
+                    # vector->scalar reductions per walk
+                    lo_v = jnp.full((BG, 128), BIG, jnp.int32)
+                    hi_v = jnp.full((BG, 128), -1, jnp.int32)
                     for prm in slots:
-                        e = lambda x: prm[x][:, None, :]
-                        in_s = ((rows_i >= e("rb_min")) & (rows_i <= e("rb_max"))
-                                & e("overlap"))
-                        l = (rows_f - e("rbf_lo")) * e("inv_span")
-                        wu0 = e("uvlo0") + (e("uvhi0") - e("uvlo0")) * l
-                        wu1 = e("uvlo1") + (e("uvhi1") - e("uvlo1")) * l
-                        u = wu1 / wu0
-                        iu = jnp.where(jnp.isnan(u), 0,
-                                       jnp.floor(u).astype(jnp.int32))
-                        cl = e("base_col") + jnp.clip(iu, 0, e("len_m1"))
-                        if MCC:  # per-pixel select from the inline colors
-                            val = jnp.zeros_like(cl)
-                            for kk in range(MCC):
-                                val = jnp.where(
-                                    cl == kk,
-                                    stk_r[0, 8 + MAXR + kk][:, None, :], val)
-                        else:
-                            val = cl
-                        chosen = jnp.where(in_s & ~claimed, val, chosen)
-                        claimed = claimed | in_s
-                        in_c = ((rows_i >= e("rb2_min"))
-                                & (rows_i <= e("rb2_max")) & e("overlap2"))
-                        chosen = jnp.where(
-                            in_c & ~claimed,
-                            jnp.broadcast_to(e("cap_col"), tile.shape), chosen)
-                        claimed = claimed | in_c
-                    do = claimed & (tile < 0)
-                    raybuf_ref[:, pl.ds(w, 8), :] = jnp.where(do, chosen, tile)
-                    wrote = wrote | jnp.any(do, axis=1).astype(jnp.int32)
-                    return (w + 8, wrote)
+                        lo_v = jnp.minimum(lo_v, jnp.where(
+                            prm["overlap"], prm["rb_min"], BIG))
+                        hi_v = jnp.maximum(hi_v, jnp.where(
+                            prm["overlap"], prm["rb_max"], -1))
+                        lo_v = jnp.minimum(lo_v, jnp.where(
+                            prm["overlap2"], prm["rb2_min"], BIG))
+                        hi_v = jnp.maximum(hi_v, jnp.where(
+                            prm["overlap2"], prm["rb2_max"], -1))
+                    lo = jnp.maximum(jnp.min(lo_v), 0) & -8
+                    hi = jnp.minimum(jnp.max(hi_v), P - 1)
 
-                _, wrote = jax.lax.while_loop(wcond, wbody, (lo, wrote))
-                return wrote
+                    def wcond(st):
+                        w, _ = st
+                        return w <= hi
 
-            run_done0 = jnp.zeros((BG, 128), jnp.int32)
-            wrote0 = jnp.zeros((BG, 128), jnp.int32)
-            sweep0 = (eb_min0, eb_max0, run_done0, nfpmin, nfpmax, fbmin, fbmax,
-                      alive.astype(jnp.int32))
+                    def wbody(st):
+                        w, wrote = st
+                        tile = raybuf_ref[:, pl.ds(w, 8), :]  # (BG, 8, 128)
+                        rows_i = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                                  + w)[None]
+                        rows_f = rows_i.astype(jnp.float32)
+                        chosen = jnp.zeros_like(tile)
+                        claimed = jnp.zeros(tile.shape, jnp.bool_)
+                        for prm in slots:
+                            e = lambda x: prm[x][:, None, :]
+                            in_s = ((rows_i >= e("rb_min")) & (rows_i <= e("rb_max"))
+                                    & e("overlap"))
+                            l = (rows_f - e("rbf_lo")) * e("inv_span")
+                            wu0 = e("uvlo0") + (e("uvhi0") - e("uvlo0")) * l
+                            wu1 = e("uvlo1") + (e("uvhi1") - e("uvlo1")) * l
+                            u = wu1 / wu0
+                            iu = jnp.where(jnp.isnan(u), 0,
+                                           jnp.floor(u).astype(jnp.int32))
+                            cl = e("base_col") + jnp.clip(iu, 0, e("len_m1"))
+                            if MCC:  # per-pixel select from the inline colors
+                                val = jnp.zeros_like(cl)
+                                for kk in range(MCC):
+                                    val = jnp.where(
+                                        cl == kk,
+                                        stk_r[0, 8 + MAXR + kk][:, None, :], val)
+                            else:
+                                val = cl
+                            chosen = jnp.where(in_s & ~claimed, val, chosen)
+                            claimed = claimed | in_s
+                            in_c = ((rows_i >= e("rb2_min"))
+                                    & (rows_i <= e("rb2_max")) & e("overlap2"))
+                            chosen = jnp.where(
+                                in_c & ~claimed,
+                                jnp.broadcast_to(e("cap_col"), tile.shape), chosen)
+                            claimed = claimed | in_c
+                        do = claimed & (tile < 0)
+                        raybuf_ref[:, pl.ds(w, 8), :] = jnp.where(do, chosen, tile)
+                        wrote = wrote | jnp.any(do, axis=1).astype(jnp.int32)
+                        return (w + 8, wrote)
 
-            if ABLATE == "nosweep":
-                wrote = wrote0
-                alive_i2 = alive.astype(jnp.int32)
-            elif MAXR <= RB_CAP:
-                # shallow worlds: single unrolled sweep + one walk per cell
-                st = sweep0
-                slots = []
-                for k in range(MAXR):
-                    st, prm = sweep_one(k, st)
-                    slots.append(prm)
-                wrote = merged_walk(slots, wrote0)
-                (_, _, _, nfpmin, nfpmax, fbmin, fbmax, alive_i2) = st
-            else:
-                def rb_cond(st):
-                    k0 = st[0]
-                    (_, _, run_done_i, _, _, _, _, alive_i2) = st[1]
-                    return (k0 < MAXR) & jnp.any(
-                        process & (alive_i2 != 0) & (k0 < nruns)
-                        & (run_done_i == 0))
+                    _, wrote = jax.lax.while_loop(wcond, wbody, (lo, wrote))
+                    return wrote
 
-                def rb_body(st):
-                    k0, sweep_st, wrote = st
+                run_done0 = jnp.zeros((BG, 128), jnp.int32)
+                wrote0 = jnp.zeros((BG, 128), jnp.int32)
+                sweep0 = (eb_min0, eb_max0, run_done0, nfpmin, nfpmax, fbmin, fbmax,
+                          alive.astype(jnp.int32))
+
+                if ABLATE == "nosweep":
+                    wrote = wrote0
+                    alive_i2 = alive.astype(jnp.int32)
+                elif MAXR <= RB_CAP:
+                    # shallow worlds: single unrolled sweep + one walk per cell
+                    st = sweep0
                     slots = []
-                    for j in range(RB):
-                        sweep_st, prm = sweep_one(k0 + j, sweep_st)
+                    for k in range(MAXR):
+                        st, prm = sweep_one(k, st)
                         slots.append(prm)
-                    wrote = merged_walk(slots, wrote)
-                    return (k0 + RB, sweep_st, wrote)
+                    wrote = merged_walk(slots, wrote0)
+                    (_, _, _, nfpmin, nfpmax, fbmin, fbmax, alive_i2) = st
+                else:
+                    def rb_cond(st):
+                        k0 = st[0]
+                        (_, _, run_done_i, _, _, _, _, alive_i2) = st[1]
+                        return (k0 < MAXR) & jnp.any(
+                            process & (alive_i2 != 0) & (k0 < nruns)
+                            & (run_done_i == 0))
 
-                _, sweep_st, wrote = jax.lax.while_loop(
-                    rb_cond, rb_body, (jnp.int32(0), sweep0, wrote0))
-                (_, _, _, nfpmin, nfpmax, fbmin, fbmax, alive_i2) = sweep_st
+                    def rb_body(st):
+                        k0, sweep_st, wrote = st
+                        slots = []
+                        for j in range(RB):
+                            sweep_st, prm = sweep_one(k0 + j, sweep_st)
+                            slots.append(prm)
+                        wrote = merged_walk(slots, wrote)
+                        return (k0 + RB, sweep_st, wrote)
 
-            fact = fact & (wrote == 0)
-            nfpmin_o[...] = nfpmin
-            nfpmax_o[...] = nfpmax
-            fbmin_o[...] = fbmin
-            fbmax_o[...] = fbmax
-            fdmin_o[...] = fdmin
-            fdmax_o[...] = fdmax
-            factive_o[...] = fact.astype(jnp.int32)
-            alive_o[...] = alive_i2
+                    _, sweep_st, wrote = jax.lax.while_loop(
+                        rb_cond, rb_body, (jnp.int32(0), sweep0, wrote0))
+                    (_, _, _, nfpmin, nfpmax, fbmin, fbmax, alive_i2) = sweep_st
+
+                fact = fact & (wrote == 0)
+                nfpmin_o[...] = nfpmin
+                nfpmax_o[...] = nfpmax
+                fbmin_o[...] = fbmin
+                fbmax_o[...] = fbmax
+                fdmin_o[...] = fdmin
+                fdmax_o[...] = fdmax
+                factive_o[...] = fact.astype(jnp.int32)
+                alive_o[...] = alive_i2
 
     return kernel
 
