@@ -918,7 +918,14 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
             ci = (_small_lut(wa.col_base, lodc, 8)
                   + (v_pos[:, :, 0] >> v_lod) * _small_lut(wa.grid_z, lodc, 8)
                   + (v_pos[:, :, 1] >> v_lod))
-            ci = jnp.where(v_valid, ci, 0)
+            # dead slots point at SPREAD rows, not all at row 0: duplicate-heavy
+            # index streams measurably slow the TPU gather unit (PERF_NOTES #2);
+            # the fetched garbage is masked by v_valid downstream
+            n_rows = (wa.rec_fwd if wa.rec_fwd is not None
+                      else wa.col_rec).shape[0]
+            spread = (jax.lax.broadcasted_iota(jnp.int32, ci.shape, 1)
+                      % jnp.int32(n_rows))
+            ci = jnp.where(v_valid, ci, spread)
             colors_k = None
             if ablate2 == "nogather":
                 zc = jnp.zeros((chunk, Rk), jnp.int32)
