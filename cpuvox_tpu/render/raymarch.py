@@ -25,8 +25,6 @@ in cpuvox_tpu.ops is the performance path and is diffed against this.
 """
 from __future__ import annotations
 
-import dataclasses
-import functools
 from typing import NamedTuple
 
 import jax
@@ -34,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cpuvox_tpu.render import segments as sg
-from cpuvox_tpu.render.camera import Camera, CameraData
+from cpuvox_tpu.render.camera import CameraData
 from cpuvox_tpu.render.device import DeviceWorld
 
 F = np.float32

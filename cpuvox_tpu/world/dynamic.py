@@ -327,7 +327,6 @@ def editable_renderer(spec: EditableWorldSpec, ew: EditableWorld, config=None):
     import dataclasses as _dc
 
     from cpuvox_tpu.config import RenderConfig
-    from cpuvox_tpu.render import camera as _cm
     from cpuvox_tpu.render.frame import Renderer
 
     config = config or RenderConfig(width=640, height=360)
