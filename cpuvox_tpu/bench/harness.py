@@ -54,7 +54,7 @@ def run_flythrough(renderer: Renderer, n_frames: int = 24, warmup: int = 1,
         cam = benchmark_camera(float(t), dims, (w, h))
         screen, _, _rest = renderer.render_device(cam)
         pending.append(screen)
-        if len(pending) > 2:
+        if len(pending) > 1:  # depth 1: deeper queues trigger tunnel backoff
             hard_sync(pending.pop(0))
     for s in pending:
         hard_sync(s)
