@@ -25,3 +25,25 @@ def test_batch_matches_individual():
     for i, cam in enumerate(cams):
         single = r.render(cam)
         assert np.array_equal(batch[i], single), f"camera {i} differs"
+
+
+def test_batch_pallas_matches_xla_batch():
+    """The batched march through the Pallas path (staged compaction + bucket
+    padding) must match the XLA batch exactly."""
+    w = scenes.random_world(n=300, seed=5)
+    lods = [w] * 6
+    cams = [
+        cm.Camera(position=(8, 10, 8), pitch_deg=25.0, yaw_deg=70.0),
+        cm.Camera(position=(4, 6, 3), pitch_deg=10.0, yaw_deg=200.0),
+        cm.Camera(position=(8, 6, 8), pitch_deg=-15.0, yaw_deg=30.0),
+        cm.Camera(position=(12, 9, 12), pitch_deg=45.0, yaw_deg=310.0),
+        cm.Camera(position=(2, 12, 14), pitch_deg=60.0, yaw_deg=120.0),
+    ]
+    outs = {}
+    for backend in ("xla", "pallas"):
+        cfg = RenderConfig(width=64, height=48, chunk_steps=8,
+                           max_march_chunks=48, backend=backend,
+                           pallas_interpret=True)
+        r = Renderer.create(lods, cfg)
+        outs[backend] = np.asarray(render_camera_batch(r, cams))
+    assert np.array_equal(outs["xla"], outs["pallas"])
