@@ -143,8 +143,47 @@ def run_rollout(n_cams=64, wh=(256, 256), n_steps=4):
         "n_steps": n_steps}), flush=True)
 
 
+def run_dynamic(size=512, wh=(1280, 720), n_frames=12):
+    """Dynamic-world mode (BASELINE config 4): per-frame height edits + on-device
+    RLE rebuild + render, zero host round trips inside a frame."""
+    import numpy as np
+
+    from cpuvox_tpu.config import RenderConfig
+    from cpuvox_tpu.models.dynamic_demo import DynamicTerrain
+    from cpuvox_tpu.render import camera as cm
+
+    cfg = RenderConfig(width=wh[0], height=wh[1])
+    d = DynamicTerrain.create(dims=(size, 128, size), config=cfg)
+    dims = d.spec.dims
+    cam = cm.Camera(position=(dims[0] * 0.5, dims[1] * 0.9, dims[2] * 0.22),
+                    pitch_deg=22.0, yaw_deg=15.0, screen=wh)
+    log("dynamic warmup (compile)...")
+    t0 = time.time()
+    np.asarray(d.render_frame(0.0, cam)[0, 0])
+    log(f"warmup {time.time() - t0:.1f}s")
+    t0 = time.time()
+    last = None
+    for i in range(n_frames):
+        last = d.render_frame(0.1 * (i + 1), cam)
+    np.asarray(last[0, 0])
+    total = time.time() - t0
+    fps = n_frames / total
+    print(json.dumps({
+        "metric": f"fps_dynamic{size}_{wh[0]}x{wh[1]}_rebuild_per_frame",
+        "value": round(fps, 3), "unit": "fps",
+        "vs_baseline": round(fps / 60.0, 4), "n_frames": n_frames}), flush=True)
+
+
 def main():
     scene = os.environ.get("BENCH_SCENE", "terrain2048")
+    if scene.startswith("dynamic"):
+        import jax
+
+        from cpuvox_tpu.utils.jaxcache import enable_persistent_cache
+
+        log(f"compile cache: {enable_persistent_cache()}")
+        run_dynamic(size=int(scene[7:] or "512"))
+        return
     if scene.startswith("rollout"):
         import jax
 
