@@ -70,10 +70,17 @@ def _batch_frame_fn(wa, fp_b, tri_a, tri_b, tri_c, ray_count, ray_base, active,
     return raymarch.resolve_colors(screens_idx, wa.colors)
 
 
-def render_camera_batch(renderer, cams: list[cm.Camera]):
+def render_camera_batch(renderer, cams: list[cm.Camera], rmesh=None):
     """Render a batch of cameras in (at most two) launches.
 
     Returns a (B, H, W) uint32 device array in the input camera order.
+
+    With ``rmesh`` (a parallel.mesh.RenderMesh), the camera axis is sharded over
+    ALL mesh devices via shard_map: each chip renders its camera slice fully
+    locally (phase 1 Pallas kernel included) with the world replicated — zero
+    inter-chip communication, so this scales over DCN as well as ICI.  This is
+    the multi-chip story for the Pallas path (GSPMD handles the XLA path; a
+    pallas_call is not GSPMD-partitionable, shard_map is the idiomatic wrapper).
     """
     cfg = renderer.config
     dims = renderer.device_world.dims
@@ -107,6 +114,10 @@ def render_camera_batch(renderer, cams: list[cm.Camera]):
         while bucket < n_real:
             bucket *= 2
         bucket = min(bucket, len(cams))
+        if rmesh is not None:  # shard the camera axis evenly over the mesh
+            n_dev = rmesh.mesh.devices.size
+            bucket = max(bucket, n_dev)
+            bucket = ((bucket + n_dev - 1) // n_dev) * n_dev
         n_pad = max(bucket, n_real) - n_real
         fp_b = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *(p[2] for p in group))
@@ -121,14 +132,32 @@ def render_camera_batch(renderer, cams: list[cm.Camera]):
                 [v, jnp.zeros((n_pad,) + v.shape[1:], v.dtype)])
                 for k, v in tb.items()}
         interpret = cfg.pallas_interpret or jax.default_backend() == "cpu"
-        screens = _batch_frame_fn(
-            renderer._wa, fp_b, tb["tri_a"], tb["tri_b"], tb["tri_c"],
-            tb["ray_count"], tb["ray_base"], tb["active"],
+        statics = dict(
             backend=cfg.backend, interpret=interpret,
             iteration_direction=direction, chunk=cfg.chunk_steps,
             max_chunks=cfg.max_march_chunks,
             max_runs=renderer.device_world.max_runs, dims=dims,
             pixel_len=max(W, H), width=W, height=H, R1=R1)
+        args = (renderer._wa, fp_b, tb["tri_a"], tb["tri_b"], tb["tri_c"],
+                tb["ray_count"], tb["ray_base"], tb["active"])
+        if rmesh is None:
+            screens = _batch_frame_fn(*args, **statics)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            cam_spec = P(("cam", "rays"))  # all devices on the camera axis
+
+            def local(wa, fp_b, ta, tb_, tc, rc, rb, ac):
+                return _batch_frame_fn.__wrapped__(
+                    wa, fp_b, ta, tb_, tc, rc, rb, ac, **statics)
+
+            wa_specs = jax.tree_util.tree_map(lambda _: P(), renderer._wa)
+            fp_specs = jax.tree_util.tree_map(lambda _: cam_spec, fp_b)
+            sharded = jax.shard_map(
+                local, mesh=rmesh.mesh,
+                in_specs=(wa_specs, fp_specs) + (cam_spec,) * 6,
+                out_specs=cam_spec, check_vma=False)
+            screens = jax.jit(sharded)(*args)
         for j, p in enumerate(group):  # dummy pad screens are dropped here
             out[p[0]] = screens[j]
     return jnp.stack(out)
