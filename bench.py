@@ -227,9 +227,12 @@ def main():
         "value": round(metrics["fps"], 3),
         "unit": "fps",
         "vs_baseline": round(metrics["fps"] / 60.0, 4),
+        "fps_seq": round(metrics["fps_seq"], 3),
+        "fps_pipe": round(metrics["fps_pipe"], 3),
         "frame_ms_p50": round(metrics["frame_ms_p50"], 1),
         "ray_columns_per_sec": round(metrics["ray_columns_per_sec"]),
-        "world_voxels": metrics["world_voxels"],
+        "world_voxels_lod0": metrics["world_voxels_lod0"],
+        "world_voxels_all_lods": metrics["world_voxels"],
         "n_frames": metrics["n_frames"],
     }
     print(json.dumps(result), flush=True)

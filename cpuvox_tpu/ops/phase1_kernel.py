@@ -40,7 +40,6 @@ input/output aliasing.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -55,15 +54,23 @@ def _shift_left_one(lod):
     return jnp.left_shift(1, lod).astype(jnp.int32)
 
 
-def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0):
+def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
+                 ablate=""):
     WMY = float(world_max_y)  # python scalar (weak-typed)
     RB = min(MAXR, RB_CAP)
     # MCC > 0: ARGB mode — the record carries the column's voxel colors
     # (alpha MSB cleared, so they stay >= 0 and the unwritten<0 sentinel holds);
     # span writes emit final colors instead of color indices
-    # perf-bisection hook (dev only — output is WRONG with any ablation set):
-    # "nosweep" skips the run loop+walk, "nowalk" skips only the tile walk
-    ABLATE = os.environ.get("PHASE1_ABLATE", "")
+    # `ablate` is a perf-bisection hook (dev only — output is WRONG when set):
+    # "nosweep" skips the run loop+walk, "nowalk" skips only the tile walk.
+    # It is an explicit STATIC argument (part of every jit key), never an env
+    # read — a stray environment variable cannot silently corrupt output.
+    ABLATE = ablate
+    if ABLATE:
+        import sys
+        print(f"WARNING: phase1 kernel ablation {ABLATE!r} active — "
+              "output is intentionally WRONG (dev bisection only)",
+              file=sys.stderr, flush=True)
 
     def reduce_pixel_horizon(rb_min, rb_max, mask, st):
         """ReducePixelHorizon (DrawSegmentRayJob.cs:660-697) on (BG,128) state.
@@ -308,7 +315,12 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0):
                      alive_i) = st
                     run_done = run_done_i != 0
                     alive = alive_i != 0
-                    run = stk_r[0, 8 + k]
+                    # deep-world sweeps run in blocks of RB, so the last block's
+                    # k can reach RB*ceil(MAXR/RB)-1 > MAXR-1 when MAXR % RB != 0;
+                    # clamp the dynamic index into the stacked block (the clamped
+                    # row's value is masked by k_valid below — k >= nruns there)
+                    k_idx = k if isinstance(k, int) else jnp.minimum(k, MAXR - 1)
+                    run = stk_r[0, 8 + k_idx]
                     length = run & 0xFFFF
                     cidx = run >> 16
                     is_air = run < 0
@@ -567,7 +579,7 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0):
 @functools.partial(
     jax.jit,
     static_argnames=("C", "MAXR", "BG", "P", "iteration_direction",
-                     "world_max_y", "interpret", "MCC"))
+                     "world_max_y", "interpret", "MCC", "ablate"))
 def rasterize_chunk(
     stacked,  # (C, 8 + MAXR + MCC, G, 128) int32: the per-cell field stack
               # [ids0, ids1, lod, valid, n_runs, color_off, cmin, cmax,
@@ -578,6 +590,7 @@ def rasterize_chunk(
             #                   fdir_max, f_active, alive (int32)
     C: int, MAXR: int, BG: int, P: int, iteration_direction: int,
     world_max_y: float, interpret: bool = False, MCC: int = 0,
+    ablate: str = "",
 ):
     G = raybuf.shape[0]
     assert G % BG == 0, (G, BG)
@@ -589,7 +602,7 @@ def rasterize_chunk(
     grid = (G // BG, C)
 
     kern = _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y,
-                        MCC=MCC)
+                        MCC=MCC, ablate=ablate)
 
     def bs_stk():  # (C, NF, G, 128) -> (1, NF, BG, 128) per-cell slice
         return pl.BlockSpec((1, NF, BG, 128), lambda i, c: (c, 0, i, 0),

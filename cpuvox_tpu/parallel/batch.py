@@ -27,6 +27,31 @@ from cpuvox_tpu.render import segments as sg
 
 F = np.float32
 
+# jitted shard_map wrappers keyed by (mesh, statics, tree structures) — built
+# once per signature so rollout steps hit the jit cache instead of retracing a
+# fresh closure every call (the bucket padding above exists precisely to keep
+# signatures stable across steps)
+_SHARDED_CACHE: dict = {}
+
+
+def _sharded_batch_fn(mesh, statics: tuple, wa_specs, fp_specs, cam_spec):
+    key = (mesh, statics, jax.tree_util.tree_structure(wa_specs),
+           jax.tree_util.tree_structure(fp_specs), cam_spec)
+    fn = _SHARDED_CACHE.get(key)
+    if fn is None:
+        kw = dict(statics)
+
+        def local(wa, fp_b, ta, tb_, tc, rc, rb, ac):
+            return _batch_frame_fn.__wrapped__(
+                wa, fp_b, ta, tb_, tc, rc, rb, ac, **kw)
+
+        fn = jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(wa_specs, fp_specs) + (cam_spec,) * 6,
+            out_specs=cam_spec, check_vma=False))
+        _SHARDED_CACHE[key] = fn
+    return fn
+
 
 @functools.partial(
     jax.jit,
@@ -146,18 +171,12 @@ def render_camera_batch(renderer, cams: list[cm.Camera], rmesh=None):
             from jax.sharding import PartitionSpec as P
 
             cam_spec = P(("cam", "rays"))  # all devices on the camera axis
-
-            def local(wa, fp_b, ta, tb_, tc, rc, rb, ac):
-                return _batch_frame_fn.__wrapped__(
-                    wa, fp_b, ta, tb_, tc, rc, rb, ac, **statics)
-
             wa_specs = jax.tree_util.tree_map(lambda _: P(), renderer._wa)
             fp_specs = jax.tree_util.tree_map(lambda _: cam_spec, fp_b)
-            sharded = jax.shard_map(
-                local, mesh=rmesh.mesh,
-                in_specs=(wa_specs, fp_specs) + (cam_spec,) * 6,
-                out_specs=cam_spec, check_vma=False)
-            screens = jax.jit(sharded)(*args)
+            sharded = _sharded_batch_fn(
+                rmesh.mesh, tuple(sorted(statics.items())), wa_specs, fp_specs,
+                cam_spec)
+            screens = sharded(*args)
         for j, p in enumerate(group):  # dummy pad screens are dropped here
             out[p[0]] = screens[j]
     return jnp.stack(out)

@@ -66,6 +66,9 @@ class DeviceWorld:
     # ARGB mode (INLINE_MAX_COLORS): the column's voxel colors are ALSO inline
     # (alpha-MSB cleared), appended after the runs; max_col_colors > 0 marks it
     max_col_colors: int = 0
+    # LOD0 voxel count (colors.shape[0]-1 counts the CONCATENATED LOD chain,
+    # ~25% more — report this one when comparing against BASELINE's 36.9M)
+    lod0_voxels: int = 0
 
 
 def reverse_runs(runs: np.ndarray, col_offset: np.ndarray, col_runs: np.ndarray
@@ -142,6 +145,7 @@ def build_device_world(lods: list[WorldLOD],
         runs_rev=runs_bwd,
         colors=colors,
         max_runs=max_runs,
+        lod0_voxels=int(lods[0].colors.shape[0]),
     )
     if max_runs <= INLINE_MAX_RUNS:
         # per-column voxel-color count = sum of the column's solid-run lengths

@@ -803,7 +803,8 @@ march_jit = jax.jit(
 def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                   cam_y, iteration_direction, chunk, max_chunks, max_runs, dims,
                   pixel_len, block_groups=4, interpret=False,
-                  max_col_colors: int = 0, skybox_argb: int = 0xFF191919):
+                  max_col_colors: int = 0, skybox_argb: int = 0xFF191919,
+                  ablate_kernel: str = "", ablate_pipeline: str = ""):
     """Phase 1 with the chunk rasterizer as a Pallas TPU kernel (cpuvox_tpu.ops.
     phase1_kernel).  Same DDA roll + gathers as `phase1`; per-ray state and the
     raybuffer live in kernel-friendly (G, 128)-lane layout.
@@ -831,8 +832,15 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
     lod_distances = jnp.asarray(lod_distances)
     cam_y_full = jnp.broadcast_to(jnp.asarray(cam_y, jnp.float32), (R,))
 
-    import os
-    ablate2 = os.environ.get("PHASE1_ABLATE2", "")  # dev bisection; output WRONG
+    # dev perf-bisection hooks (explicit STATIC args, never env reads — a stray
+    # environment variable cannot silently corrupt output): output is WRONG
+    # whenever either is set
+    ablate2 = ablate_pipeline
+    if ablate2:
+        import sys
+        print(f"WARNING: phase1 pipeline ablation {ablate2!r} active — "
+              "output is intentionally WRONG (dev bisection only)",
+              file=sys.stderr, flush=True)
 
     # everything per-ray that must travel through compactions, flat (Rk,) leading
     per_ray = {
@@ -970,7 +978,8 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                 stacked, consts, raybuf, state,
                 C=C, MAXR=MAXR, BG=BG, P=P,
                 iteration_direction=iteration_direction,
-                world_max_y=float(world_max_y), interpret=interpret, MCC=MCC)
+                world_max_y=float(world_max_y), interpret=interpret, MCC=MCC,
+                ablate=ablate_kernel)
             return i + 1, dda, march_alive, raybuf, state
 
         init = (i_total, dda_c, march_alive, raybuf, state)
@@ -1017,7 +1026,8 @@ march_pallas_jit = jax.jit(
     phase1_pallas,
     static_argnames=("world_max_y", "iteration_direction", "chunk", "max_chunks",
                      "max_runs", "dims", "pixel_len", "block_groups", "interpret",
-                     "max_col_colors", "skybox_argb"))
+                     "max_col_colors", "skybox_argb", "ablate_kernel",
+                     "ablate_pipeline"))
 
 
 def resolve_colors(raybuf_idx, colors, debug_magenta=np.uint32(0xFFFF1493)):

@@ -48,6 +48,12 @@ def build_surface_world_arrays(spec: SurfaceWorldSpec, top, colors):
     clamped at 0, making the band shallower at the floor).
     colors: (X, Z, depth) uint32 ARGB, top voxel first.
     Returns a WorldArrays pytree compatible with the renderer.
+
+    NOTE (LOD deviation — module docstring): the LOD chain built here is a
+    CONSERVATIVE UNION (max-top / min-bottom per 2^L block), not the reference's
+    voxel-accurate downsample — so when the renderer's lod_distances engage
+    LOD >= 1 on a dynamic world, distant geometry differs from what the static
+    builder would produce.  Near-field (LOD0) content is exact.
     """
     X, Y, Z = spec.dims
     depth = spec.depth
@@ -282,7 +288,14 @@ def _expand_lod0(w):
 
 def editable_from_lod0(w, max_runs: int | None = None,
                        col_colors: int | None = None):
-    """Static WorldLOD -> (spec, EditableWorld) with per-column fixed slots."""
+    """Static WorldLOD -> (spec, EditableWorld) with per-column fixed slots.
+
+    KNOWN CAPABILITY CLIFF (v1): editable worlds are LOD0-ONLY — general edits
+    cannot coexist with a LOD chain, so `editable_renderer` pins
+    lod_distances=inf and far-field cost grows with world size.  Use the static
+    builder (or the SurfaceWorld dynamic path, which does keep an approximate
+    chain) for large worlds where LODs matter.
+    """
     dims = w.dims
     spec_runs = max_runs or max(int(np.asarray(w.col_runs).max()), 1)
     X, Y, Z = dims

@@ -10,6 +10,7 @@ Measures, with separate jits (all sharing the persistent cache):
 
 Usage: python profile_phase1.py [scene] [WxH] [chunks]
 """
+import os
 import sys
 import time
 
@@ -133,11 +134,16 @@ rb_x = timed("D phase1 XLA", p1_xla, wa, static, dda, alive0, lodd, fc,
 
 p1_pl = jax.jit(raymarch.phase1_pallas, static_argnames=(
     "world_max_y", "iteration_direction", "chunk", "max_chunks", "max_runs",
-    "dims", "pixel_len", "block_groups", "interpret"))
+    "dims", "pixel_len", "block_groups", "interpret", "ablate_kernel",
+    "ablate_pipeline"))
 rb_p = timed("E phase1 Pallas", p1_pl, wa, static, dda, alive0, lodd, fc,
              float(dims[1]), fp.cam_pos[1], iteration_direction=itd,
              chunk=chunk, max_chunks=max_chunks, max_runs=MAXR, dims=dims,
-             pixel_len=pixel_len)
+             pixel_len=pixel_len,
+             # env -> explicit static args here at the DEV-SCRIPT boundary;
+             # library code takes these only as parameters
+             ablate_kernel=os.environ.get("PHASE1_ABLATE", ""),
+             ablate_pipeline=os.environ.get("PHASE1_ABLATE2", ""))
 
 diff = int(jnp.sum(rb_x != rb_p))
 print(f"   pallas vs xla raybuf mismatches: {diff}")
