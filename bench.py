@@ -212,7 +212,8 @@ def main():
     cfg = RenderConfig(
         width=w, height=h,
         chunk_steps=int(os.environ.get("BENCH_CHUNK", "32")),
-        max_march_chunks=int(os.environ.get("BENCH_MAX_CHUNKS", "192")))
+        max_march_chunks=int(os.environ.get("BENCH_MAX_CHUNKS", "192")),
+        occupancy_gate=os.environ.get("BENCH_OCC", "auto"))
     t0 = time.time()
     renderer = Renderer.create(lods, cfg)
     log(f"device world uploaded in {time.time() - t0:.1f}s "

@@ -47,6 +47,14 @@ class RenderConfig:
     # writes final pixels (no phase-2 color-resolve gather).  Off by default —
     # the wider march-gather rows cost more than the resolve saves on v5e.
     argb_records: bool = False
+    # occupancy-gated march ("auto" | "on" | "off"): gather one 16x8-column
+    # occupancy-tile row per tile a ray crosses per chunk and fetch full column
+    # records only for nonempty visits — the empty-column `continue` of
+    # DrawSegmentRayJob.cs:251-256, rebuilt for the TPU gather cost model
+    # (rows, not bytes).  "auto" enables it when >= 50% of LOD0 columns are
+    # empty (mill/powerplant-class content); dense content keeps the one-stage
+    # fetch, whose rows the gate could not reduce.
+    occupancy_gate: str = "auto"
     # per-frame ray init on the host (numpy, bit-exact vs the oracle) or on
     # device (jnp — XLA's FMA contraction drifts a few ULPs vs numpy, which can
     # flip the odd pixel on LOD'd mesh content; the batched rollout path always

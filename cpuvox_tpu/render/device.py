@@ -27,6 +27,17 @@ REC_META = 4  # leading meta ints in an inline record: n_runs, color_off, cmin, 
 INLINE_MAX_RUNS = 60  # inline runs into the record while 4 + max_runs <= 64 ints
 # (one gather row per visited cell beats the split record+runs double gather up
 # to ~256-byte rows; deeper worlds fall back to the split layout)
+# occupancy tiles: one 32-byte row per OCC_TILE_X x OCC_TILE_Z block of columns
+# per LOD — [4 bitmap words (bit = column has runs), tile cmin, tile cmax, 2 pad].
+# The march gathers ONE tile row per distinct tile a ray crosses per chunk
+# (instead of one record row per visited CELL) and fetches full records only
+# for visits whose bit is set — the TPU-native equivalent of the reference's
+# empty-column `continue` (DrawSegmentRayJob.cs:251-256): on mostly-air worlds
+# the per-visited-cell gather row (the round-2 bottleneck) disappears.
+OCC_TILE_X = 16
+OCC_TILE_Z = 8
+OCC_ROW = 8  # int32 per tile row (32 B — one gather-row unit)
+
 INLINE_MAX_COLORS = 24  # ALSO inline the column's voxel colors (ARGB mode) when
 # every column has <= this many voxels: phase 1 then writes final ARGB pixels
 # and the ~2M-element color-resolve gather (a flat ~75ms on v5e at 1080p)
@@ -69,6 +80,66 @@ class DeviceWorld:
     # LOD0 voxel count (colors.shape[0]-1 counts the CONCATENATED LOD chain,
     # ~25% more — report this one when comparing against BASELINE's 36.9M)
     lod0_voxels: int = 0
+    # occupancy tiles (see OCC_TILE_X): per-LOD emptiness bitmaps + tile
+    # cmin/cmax, all LODs concatenated like col_base
+    occ_tiles: np.ndarray | None = None  # int32 [n_tiles, OCC_ROW]
+    tile_base: np.ndarray | None = None  # int32 [8]
+    tile_gz: np.ndarray | None = None  # int32 [8] (tiles per x-row per LOD)
+    # fraction of LOD0 columns with zero runs (drives the occupancy auto policy)
+    empty_frac: float = 0.0
+
+
+def build_occ_tiles(lods: list[WorldLOD]):
+    """Per-LOD occupancy tiles: (occ int32 [n_tiles, OCC_ROW], tile_base [8],
+    tile_gz [8]).
+
+    Tile (tx, tz) at LOD l covers column cells x in [tx*16, tx*16+16),
+    z in [tz*8, tz*8+8); bit for local cell (lx, lz) lives in word (lx*8+lz)>>5
+    at bit (lx*8+lz)&31.  Words 4/5 hold min(col_min)/max(col_max) over the
+    tile's NONEMPTY columns (BIG/-BIG for all-empty tiles) for the conservative
+    frustum-window gate."""
+    BIGC = np.int32(1 << 24)
+    tile_base = np.zeros(8, np.int32)
+    tile_gz = np.ones(8, np.int32)
+    parts = []
+    base = 0
+    lx = np.arange(OCC_TILE_X)
+    lz = np.arange(OCC_TILE_Z)
+    bitidx = (lx[:, None] * OCC_TILE_Z + lz[None, :]).reshape(-1)  # (128,)
+    shifts = (bitidx & 31).astype(np.uint32)
+    word_of = bitidx >> 5
+    for i, w in enumerate(lods):
+        gx, gz = w.dims[0] >> w.lod, w.dims[2] >> w.lod
+        tgx = -(-gx // OCC_TILE_X)
+        tgz = -(-gz // OCC_TILE_Z)
+        tile_base[i] = base
+        tile_gz[i] = tgz
+        occ2d = (w.col_runs > 0).reshape(gx, gz)
+        cmin2d = np.where(occ2d.reshape(-1), w.col_min, BIGC).reshape(gx, gz)
+        cmax2d = np.where(occ2d.reshape(-1), w.col_max, -BIGC).reshape(gx, gz)
+
+        def tiles(a, pad_val):
+            ap = np.pad(a, ((0, tgx * OCC_TILE_X - gx), (0, tgz * OCC_TILE_Z - gz)),
+                        constant_values=pad_val)
+            return ap.reshape(tgx, OCC_TILE_X, tgz, OCC_TILE_Z).transpose(
+                0, 2, 1, 3).reshape(tgx, tgz, OCC_TILE_X * OCC_TILE_Z)
+
+        bits = tiles(occ2d, False).astype(np.uint32) << shifts[None, None, :]
+        row = np.zeros((tgx, tgz, OCC_ROW), np.uint32)
+        for wd in range(4):
+            sel = bits[:, :, word_of == wd]
+            row[:, :, wd] = np.bitwise_or.reduce(sel, axis=2) if sel.size else 0
+        row[:, :, 4] = tiles(cmin2d, BIGC).min(axis=2).astype(np.int32) \
+            .view(np.uint32)
+        row[:, :, 5] = tiles(cmax2d, -BIGC).max(axis=2).astype(np.int32) \
+            .view(np.uint32)
+        parts.append(row.reshape(-1, OCC_ROW))
+        base += tgx * tgz
+    lod_levels = len(lods)
+    tile_base[lod_levels:] = tile_base[lod_levels - 1]
+    tile_gz[lod_levels:] = tile_gz[lod_levels - 1]
+    occ = np.concatenate(parts).view(np.int32)
+    return occ, tile_base, tile_gz
 
 
 def reverse_runs(runs: np.ndarray, col_offset: np.ndarray, col_runs: np.ndarray
@@ -147,6 +218,9 @@ def build_device_world(lods: list[WorldLOD],
         max_runs=max_runs,
         lod0_voxels=int(lods[0].colors.shape[0]),
     )
+    dw.occ_tiles, dw.tile_base, dw.tile_gz = build_occ_tiles(lods)
+    n0 = lods[0].col_runs.shape[0]
+    dw.empty_frac = float((lods[0].col_runs == 0).sum() / max(n0, 1))
     if max_runs <= INLINE_MAX_RUNS:
         # per-column voxel-color count = sum of the column's solid-run lengths
         # (offsets are NOT monotone in column order for voxel-soup worlds)

@@ -33,12 +33,12 @@ F = np.float32
     static_argnames=("backend", "interpret", "iteration_direction", "chunk",
                      "max_chunks", "max_runs", "dims", "pixel_len", "width",
                      "height", "R", "out_width", "out_height",
-                     "max_col_colors", "skybox_argb"))
+                     "max_col_colors", "skybox_argb", "occupancy"))
 def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
               backend, interpret, iteration_direction, chunk, max_chunks,
               max_runs, dims, pixel_len, width, height, R,
               out_width=None, out_height=None, init=None,
-              max_col_colors=0, skybox_argb=0xFF191919):
+              max_col_colors=0, skybox_argb=0xFF191919, occupancy=False):
     if init is None:
         static, dda, alive0 = device_init.init_rays_device(fp, dims, R)
     else:
@@ -52,7 +52,7 @@ def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
             wa, static, dda, alive0, fp.lod_distances, fp.far_clip,
             float(dims[1]), fp.cam_pos[1], **common, interpret=interpret,
             max_col_colors=max_col_colors if argb_mode else 0,
-            skybox_argb=skybox_argb)
+            skybox_argb=skybox_argb, occupancy=occupancy)
     else:
         raybuf_idx = raymarch.phase1(
             wa, static, dda, alive0, fp.lod_distances, fp.far_clip,
@@ -116,6 +116,21 @@ class Renderer:
         cfg = self.config
         return (max(2, int(round(cfg.width * cfg.render_scale))),
                 max(2, int(round(cfg.height * cfg.render_scale))))
+
+    @property
+    def occupancy_on(self) -> bool:
+        """Resolve the occupancy-gate policy against the world's content (the
+        gate only wins when empty columns dominate — see RenderConfig)."""
+        dw = self.device_world
+        if (self.config.backend != "pallas"
+                or getattr(dw, "occ_tiles", None) is None):
+            return False
+        mode = self.config.occupancy_gate
+        if mode == "on":
+            return True
+        if mode == "off":
+            return False
+        return getattr(dw, "empty_frac", 0.0) >= 0.5
 
     @property
     def ray_capacity(self) -> int:
@@ -184,7 +199,8 @@ class Renderer:
             pixel_len=max(rw, rh), width=rw, height=rh, R=R,
             out_width=cfg.width, out_height=cfg.height, init=init,
             max_col_colors=self.device_world.max_col_colors,
-            skybox_argb=int(pack_argb(*cfg.skybox_rgb)))
+            skybox_argb=int(pack_argb(*cfg.skybox_rgb)),
+            occupancy=self.occupancy_on)
         return screen, argb, (segs, ctxs, vp_screen, cam_data, cam)
 
     def render(self, cam: cm.Camera, return_raybuffers: bool = False):

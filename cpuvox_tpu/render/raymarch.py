@@ -81,6 +81,11 @@ class WorldArrays(NamedTuple):
     # inline layout (device.py _inline_records): meta + runs in one gather row
     rec_fwd: jnp.ndarray | None = None
     rec_rev: jnp.ndarray | None = None
+    # occupancy tiles (device.py build_occ_tiles): emptiness bitmap + cmin/cmax
+    # per 16x8 column tile per LOD — enables the gated two-stage fetch
+    occ_tiles: jnp.ndarray | None = None
+    tile_base: jnp.ndarray | None = None
+    tile_gz: jnp.ndarray | None = None
 
 
 def _small_lut(table, idx, n: int):
@@ -804,6 +809,7 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                   cam_y, iteration_direction, chunk, max_chunks, max_runs, dims,
                   pixel_len, block_groups=4, interpret=False,
                   max_col_colors: int = 0, skybox_argb: int = 0xFF191919,
+                  occupancy: bool = False,
                   ablate_kernel: str = "", ablate_pipeline: str = ""):
     """Phase 1 with the chunk rasterizer as a Pallas TPU kernel (cpuvox_tpu.ops.
     phase1_kernel).  Same DDA roll + gathers as `phase1`; per-ray state and the
@@ -829,6 +835,14 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
     C = chunk
     MAXR = max_runs
     MCC = max_col_colors
+    occupancy = occupancy and wa.occ_tiles is not None
+    GK = 8  # cells rasterized per gated group (the packed kernel's chunk size)
+    if occupancy:
+        assert C % GK == 0, f"chunk {C} must be a multiple of {GK}"
+    # tile-slot budget per chunk: a ray crosses at most ~C/16 x-tile + ~C/8
+    # z-tile boundaries plus one slot per LOD switch; overflow slots degrade to
+    # "fetch the record" (correct, just unpruned), so a common-case budget is safe
+    TS = C // 8 + 4
     lod_distances = jnp.asarray(lod_distances)
     cam_y_full = jnp.broadcast_to(jnp.asarray(cam_y, jnp.float32), (R,))
 
@@ -913,6 +927,57 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
             n = (alive & (state["alive"].reshape(Rk) != 0)).sum()
             return (i < max_chunks) & (n > next_rk)
 
+        def rasterize_cells(NC, fields, raybuf, state):
+            """Build the stacked per-cell block for NC cells and run the kernel.
+
+            fields = (ids0_bits, ids1_bits, lod, valid_i32, n_runs, color_off,
+            cmin, cmax, runs_k[, colors_k]) — all (NC, Rk[, ...])."""
+            (ids0b, ids1b, lod_f, valid_i, n_runs, color_off, cmin, cmax,
+             runs_k, colors_k) = fields
+
+            def to_cg(x):  # (NC, Rk) -> (NC, G, 128) — cell-major layout, free
+                return x.reshape(NC, G, 128)
+
+            # ONE stacked per-cell input (fields then runs then inline colors):
+            # each pallas grid step then waits on a single per-cell block DMA
+            # instead of nine small ones (DMA latency dominated the kernel)
+            parts = [
+                to_cg(ids0b), to_cg(ids1b), to_cg(lod_f), to_cg(valid_i),
+                to_cg(n_runs), to_cg(color_off), to_cg(cmin), to_cg(cmax),
+                runs_k.reshape(NC, G, 128, MAXR).transpose(0, 3, 1, 2),
+            ]
+            if MCC:
+                parts.append(
+                    colors_k.reshape(NC, G, 128, MCC).transpose(0, 3, 1, 2))
+            stacked = jnp.concatenate(
+                [p[:, None] if p.ndim == 3 else p for p in parts], axis=1)
+            return pk.rasterize_chunk(
+                stacked, consts, raybuf, state,
+                C=NC, MAXR=MAXR, BG=BG, P=P,
+                iteration_direction=iteration_direction,
+                world_max_y=float(world_max_y), interpret=interpret, MCC=MCC,
+                ablate=ablate_kernel)
+
+        def fetch(ci, valid):
+            """Column-record fetch with the dead-slot SPREAD trick: dead slots
+            point at spread rows, not all at row 0 — duplicate-heavy index
+            streams measurably slow the TPU gather unit (PERF_NOTES #2); the
+            fetched garbage is masked by `valid` downstream."""
+            n_rows = (wa.rec_fwd if wa.rec_fwd is not None
+                      else wa.col_rec).shape[0]
+            spread = (jax.lax.broadcasted_iota(jnp.int32, ci.shape, 1)
+                      % jnp.int32(n_rows))
+            ci = jnp.where(valid, ci, spread)
+            if MCC:
+                (n_runs, _, color_off, cmin, cmax, runs_k,
+                 colors_k) = _fetch_columns(
+                    wa, ci, valid, iteration_direction, MAXR, MCC)
+            else:
+                n_runs, _, color_off, cmin, cmax, runs_k = _fetch_columns(
+                    wa, ci, valid, iteration_direction, MAXR)
+                colors_k = None
+            return n_runs, color_off, cmin, cmax, runs_k, colors_k
+
         def body(carry):
             i, dda, alive, raybuf, state = carry
             march_alive = alive & (state["alive"].reshape(Rk) != 0)
@@ -921,65 +986,109 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
             v_pos, v_ids, v_lod, v_valid = visits  # (C, Rk, ...)
 
             lodc = jnp.clip(v_lod, 0, 7)
+            xc = v_pos[:, :, 0] >> v_lod
+            zc = v_pos[:, :, 1] >> v_lod
             ci = (_small_lut(wa.col_base, lodc, 8)
-                  + (v_pos[:, :, 0] >> v_lod) * _small_lut(wa.grid_z, lodc, 8)
-                  + (v_pos[:, :, 1] >> v_lod))
-            # dead slots point at SPREAD rows, not all at row 0: duplicate-heavy
-            # index streams measurably slow the TPU gather unit (PERF_NOTES #2);
-            # the fetched garbage is masked by v_valid downstream
-            n_rows = (wa.rec_fwd if wa.rec_fwd is not None
-                      else wa.col_rec).shape[0]
-            spread = (jax.lax.broadcasted_iota(jnp.int32, ci.shape, 1)
-                      % jnp.int32(n_rows))
-            ci = jnp.where(v_valid, ci, spread)
-            colors_k = None
-            if ablate2 == "nogather":
-                zc = jnp.zeros((chunk, Rk), jnp.int32)
-                n_runs, color_off, cmin, cmax = zc, zc, zc, zc
-                runs_k = jnp.zeros((chunk, Rk, MAXR), jnp.int32)
-                if MCC:
-                    colors_k = jnp.zeros((chunk, Rk, MCC), jnp.int32)
-            elif MCC:
-                (n_runs, run_off, color_off, cmin, cmax, runs_k,
-                 colors_k) = _fetch_columns(
-                    wa, ci, v_valid, iteration_direction, MAXR, MCC)
-            else:
-                n_runs, run_off, color_off, cmin, cmax, runs_k = _fetch_columns(
-                    wa, ci, v_valid, iteration_direction, MAXR)  # (C, Rk, MAXR)
-            if ablate2 == "nopallas":
-                raybuf = raybuf.at[:, 0, :].add(
-                    jnp.sum(runs_k, axis=(0, 2)).reshape(G, 128)
-                    + jnp.sum(n_runs + color_off + cmin + cmax, axis=0)
-                    .reshape(G, 128))
+                  + xc * _small_lut(wa.grid_z, lodc, 8) + zc)
+
+            if not occupancy:
+                # ---- dense path: one record row per visited cell
+                if ablate2 == "nogather":
+                    zeros = jnp.zeros((chunk, Rk), jnp.int32)
+                    n_runs, color_off, cmin, cmax = zeros, zeros, zeros, zeros
+                    runs_k = jnp.zeros((chunk, Rk, MAXR), jnp.int32)
+                    colors_k = (jnp.zeros((chunk, Rk, MCC), jnp.int32)
+                                if MCC else None)
+                else:
+                    n_runs, color_off, cmin, cmax, runs_k, colors_k = fetch(
+                        ci, v_valid)
+                if ablate2 == "nopallas":
+                    raybuf = raybuf.at[:, 0, :].add(
+                        jnp.sum(runs_k, axis=(0, 2)).reshape(G, 128)
+                        + jnp.sum(n_runs + color_off + cmin + cmax, axis=0)
+                        .reshape(G, 128))
+                    return i + 1, dda, march_alive, raybuf, state
+
+                def bits(x):  # f32 fields ride the int32 stack bit-exactly
+                    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+                raybuf, state = rasterize_cells(
+                    C, (bits(v_ids[:, :, 0]), bits(v_ids[:, :, 1]), v_lod,
+                        v_valid.astype(jnp.int32), n_runs, color_off, cmin,
+                        cmax, runs_k, colors_k), raybuf, state)
                 return i + 1, dda, march_alive, raybuf, state
 
-            def to_cg(x):  # (C, Rk) -> (C, G, 128) — cell-major layout, free
-                return x.reshape(C, G, 128)
+            # ---- gated two-stage path (the reference's empty-column `continue`,
+            # DrawSegmentRayJob.cs:251-256, re-designed for the TPU's cost model:
+            # gathers cost per ROW, so the only lever is fewer gathered rows).
+            #
+            # Stage A: one occupancy-tile row per DISTINCT 16x8 tile the ray
+            # crosses this chunk (~C/8 rows instead of C).  Consecutive steps
+            # share a tile, so dedupe by packing first-steps-of-tiles to a TS
+            # budget via one small sort; budget overflow degrades to "fetch".
+            ti = (_small_lut(wa.tile_base, lodc, 8)
+                  + (xc >> 4) * _small_lut(wa.tile_gz, lodc, 8) + (zc >> 3))
+            step_iota = jax.lax.broadcasted_iota(jnp.int32, (C, Rk), 0)
+            new = jnp.concatenate(
+                [jnp.ones((1, Rk), bool), ti[1:] != ti[:-1]], axis=0)
+            slot = jnp.cumsum(new.astype(jnp.int32), axis=0) - 1
+            key_a = jnp.where(new, step_iota, BIG)
+            _, ti_s = jax.lax.sort((key_a, ti), dimension=0, num_keys=1,
+                                   is_stable=False)
+            packed_ti = ti_s[:TS]
+            n_tiles = wa.occ_tiles.shape[0]
+            flat_ti = jax.lax.optimization_barrier(
+                jnp.clip(packed_ti, 0, n_tiles - 1).ravel())
+            occ_rows = jax.lax.optimization_barrier(wa.occ_tiles[flat_ti])
+            occ_rows = occ_rows.reshape(TS, Rk, occ_rows.shape[-1])
 
-            def bits(x):  # f32 fields ride the int32 stack bit-exactly
-                return jax.lax.bitcast_convert_type(x, jnp.int32)
+            # per-step bit extract: select the step's tile row (TS-way) and
+            # bitmap word (4-way) with where-chains — no gathers
+            slot_c = jnp.minimum(slot, TS - 1)
+            w_idx = (xc & 15) >> 2
+            wv = jnp.zeros((C, Rk), jnp.int32)
+            for t in range(TS):
+                m = slot_c == t
+                for k in range(4):
+                    wv = jnp.where(m & (w_idx == k),
+                                   occ_rows[t, :, k][None, :], wv)
+            bit_pos = ((xc & 3) << 3) | (zc & 7)
+            bit = jnp.bitwise_and(jnp.right_shift(wv, bit_pos), 1)
+            gate = v_valid & ((bit != 0) | (slot >= TS))
 
-            # ONE stacked per-cell input (fields then runs then inline colors):
-            # each pallas grid step then waits on a single per-cell block DMA
-            # instead of nine small ones (DMA latency dominated the kernel)
-            parts = [
-                bits(to_cg(v_ids[:, :, 0])), bits(to_cg(v_ids[:, :, 1])),
-                to_cg(v_lod), to_cg(v_valid.astype(jnp.int32)),
-                to_cg(n_runs), to_cg(color_off), to_cg(cmin), to_cg(cmax),
-                runs_k.reshape(C, G, 128, MAXR).transpose(0, 3, 1, 2),
-            ]
-            if MCC:
-                parts.append(
-                    colors_k.reshape(C, G, 128, MCC).transpose(0, 3, 1, 2))
-            stacked = jnp.concatenate(
-                [p[:, None] if p.ndim == 3 else p for p in parts], axis=1)
+            # Stage B: pack gated steps to a per-ray prefix (order-preserving —
+            # keys are the step indices) and fetch + rasterize them in groups
+            # of GK cells; empty/invalid steps are provable kernel no-ops
+            # (phase1_kernel `work` gating), so dropping them is output-exact.
+            key_b = jnp.where(gate, step_iota, BIG)
+            kb_s, ci_s, i0_s, i1_s, lod_s = jax.lax.sort(
+                (key_b, ci,
+                 jax.lax.bitcast_convert_type(v_ids[:, :, 0], jnp.int32),
+                 jax.lax.bitcast_convert_type(v_ids[:, :, 1], jnp.int32),
+                 v_lod), dimension=0, num_keys=1, is_stable=False)
 
-            raybuf, state = pk.rasterize_chunk(
-                stacked, consts, raybuf, state,
-                C=C, MAXR=MAXR, BG=BG, P=P,
-                iteration_direction=iteration_direction,
-                world_max_y=float(world_max_y), interpret=interpret, MCC=MCC,
-                ablate=ablate_kernel)
+            def gcond(gc):
+                g, raybuf, state = gc
+                head = jax.lax.dynamic_slice_in_dim(kb_s, g * GK, 1, axis=0)
+                return (g < C // GK) & jnp.any(head < BIG)
+
+            def gbody(gc):
+                g, raybuf, state = gc
+
+                def sl(a):
+                    return jax.lax.dynamic_slice_in_dim(a, g * GK, GK, axis=0)
+
+                vk = sl(kb_s) < BIG  # (GK, Rk)
+                n_runs, color_off, cmin, cmax, runs_k, colors_k = fetch(
+                    sl(ci_s), vk)
+                raybuf, state = rasterize_cells(
+                    GK, (sl(i0_s), sl(i1_s), sl(lod_s), vk.astype(jnp.int32),
+                         n_runs, color_off, cmin, cmax, runs_k, colors_k),
+                    raybuf, state)
+                return g + 1, raybuf, state
+
+            _, raybuf, state = jax.lax.while_loop(
+                gcond, gbody, (jnp.int32(0), raybuf, state))
             return i + 1, dda, march_alive, raybuf, state
 
         init = (i_total, dda_c, march_alive, raybuf, state)
@@ -1026,8 +1135,8 @@ march_pallas_jit = jax.jit(
     phase1_pallas,
     static_argnames=("world_max_y", "iteration_direction", "chunk", "max_chunks",
                      "max_runs", "dims", "pixel_len", "block_groups", "interpret",
-                     "max_col_colors", "skybox_argb", "ablate_kernel",
-                     "ablate_pipeline"))
+                     "max_col_colors", "skybox_argb", "occupancy",
+                     "ablate_kernel", "ablate_pipeline"))
 
 
 def resolve_colors(raybuf_idx, colors, debug_magenta=np.uint32(0xFFFF1493)):

@@ -11,7 +11,8 @@ from cpuvox_tpu.world import rle
 SCREEN = (64, 48)
 
 
-def render_both(world_or_lods, campos, pitch, yaw=0.0, screen=SCREEN):
+def render_both(world_or_lods, campos, pitch, yaw=0.0, screen=SCREEN,
+                occupancy_gate="off"):
     lods = [world_or_lods] * 6 if isinstance(world_or_lods, rle.WorldLOD) \
         else world_or_lods
     cam = cm.Camera(position=campos, pitch_deg=pitch, yaw_deg=yaw, screen=screen)
@@ -19,7 +20,8 @@ def render_both(world_or_lods, campos, pitch, yaw=0.0, screen=SCREEN):
     for backend in ("xla", "pallas"):
         cfg = RenderConfig(width=screen[0], height=screen[1], chunk_steps=8,
                            max_march_chunks=64, backend=backend,
-                           pallas_interpret=True, block_groups=2)
+                           pallas_interpret=True, block_groups=2,
+                           occupancy_gate=occupancy_gate)
         r = Renderer.create(lods, cfg)
         outs[backend] = r.render(cam, return_raybuffers=True)
     return outs
@@ -41,15 +43,16 @@ CASES = [
 ]
 
 
+@pytest.mark.parametrize("occupancy", ["off", "on"])
 @pytest.mark.parametrize("name,scene,pos,pitch,yaw", CASES)
-def test_pallas_matches_xla(name, scene, pos, pitch, yaw):
+def test_pallas_matches_xla(name, scene, pos, pitch, yaw, occupancy):
     if scene == "floor":
         w = scenes.flat_floor_world()
     elif scene == "tower":
         w = scenes.tower_world(x=8, z=12, height=10)
     else:
         w = scenes.random_world(n=300, seed=5)
-    outs = render_both(w, pos, pitch, yaw)
+    outs = render_both(w, pos, pitch, yaw, occupancy_gate=occupancy)
     xs, (xtd, xlr, *_) = outs["xla"]
     ps, (ptd, plr, *_) = outs["pallas"]
     td_diff = int(np.sum(xtd != ptd))
@@ -63,14 +66,60 @@ def test_pallas_matches_xla(name, scene, pos, pitch, yaw):
     assert np.array_equal(xs, ps), f"{name}: screens differ"
 
 
-def test_pallas_lod_chain():
+@pytest.mark.parametrize("occupancy", ["off", "on"])
+def test_pallas_lod_chain(occupancy):
     w0 = scenes.flat_floor_world(dims=(64, 16, 64))
     lods = rle.build_lod_chain(w0, 6)
-    outs = render_both(lods, (32, 4, 32), 12.0, yaw=30.0)
+    outs = render_both(lods, (32, 4, 32), 12.0, yaw=30.0,
+                       occupancy_gate=occupancy)
     xs, (xtd, xlr, *_) = outs["xla"]
     ps, (ptd, plr, *_) = outs["pallas"]
     assert np.array_equal(xtd, ptd)
     assert np.array_equal(xlr, plr)
+
+
+@pytest.mark.parametrize("occupancy", ["off", "on"])
+def test_pallas_deep_split_layout(occupancy):
+    """Deep columns (> INLINE_MAX_RUNS runs -> split record layout) on a mostly
+    empty world; max_runs % RB_CAP != 0 also exercises the clamped run-sweep
+    index (ADVICE r2 medium)."""
+    from cpuvox_tpu.render.device import INLINE_MAX_RUNS
+
+    dims = (64, 256, 64)
+    xzs, yss = [], []
+    for x, z in [(20, 20), (43, 27), (26, 53)]:
+        ys = np.arange(0, 256, 2)  # alternating voxel/air: ~255 runs
+        xzs.append(np.full(ys.shape[0], x * dims[2] + z))
+        yss.append(ys)
+    xz = np.concatenate(xzs)
+    y = np.concatenate(yss)
+    rgb = tuple(np.full(xz.shape[0], v, np.uint8) for v in (200, 90, 30))
+    w = rle.build_lod_from_voxels(dims, 0, xz, y, rgb)
+    assert int(np.asarray(w.col_runs).max()) > INLINE_MAX_RUNS
+    outs = render_both(rle.build_lod_chain(w, 6), (32.0, 128.0, -6.0), 20.0,
+                       yaw=15.0, occupancy_gate=occupancy)
+    xs, (xtd, xlr, *_) = outs["xla"]
+    ps, (ptd, plr, *_) = outs["pallas"]
+    assert np.array_equal(xtd, ptd)
+    assert np.array_equal(xlr, plr)
+
+
+def test_pallas_occupancy_argb_matches_xla():
+    """Occupancy gate composed with ARGB record mode."""
+    w = scenes.random_world(n=300, seed=5)
+    cam = cm.Camera(position=(8, 10, 8), pitch_deg=25.0, yaw_deg=70.0,
+                    screen=SCREEN)
+    cfg = RenderConfig(width=SCREEN[0], height=SCREEN[1], chunk_steps=8,
+                       max_march_chunks=64, backend="pallas",
+                       pallas_interpret=True, argb_records=True,
+                       occupancy_gate="on")
+    cfg_ref = RenderConfig(width=SCREEN[0], height=SCREEN[1], chunk_steps=8,
+                           max_march_chunks=64, backend="xla")
+    ra = Renderer.create([w] * 6, cfg)
+    assert ra.device_world.max_col_colors > 0
+    assert ra.occupancy_on
+    assert np.array_equal(ra.render(cam),
+                          Renderer.create([w] * 6, cfg_ref).render(cam))
 
 
 def test_pallas_argb_records_matches_xla():
