@@ -484,43 +484,63 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
 
                     def wbody(st):
                         w, wrote = st
-                        tile = raybuf_ref[:, pl.ds(w, 8), :]  # (BG, 8, 128)
                         rows_i = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
                                   + w)[None]
                         rows_f = rows_i.astype(jnp.float32)
-                        chosen = jnp.zeros_like(tile)
-                        claimed = jnp.zeros(tile.shape, jnp.bool_)
+                        # cheap per-row-tile coverage test FIRST: a block's lanes
+                        # hold unrelated columns, so the union span [lo, hi] is
+                        # mostly rows no lane covers — skip their tile IO and
+                        # span math entirely (this was ~1/3 of the frame on
+                        # deep-run mostly-air worlds)
+                        covs = []
+                        anyc = jnp.zeros((), jnp.bool_)
                         for prm in slots:
                             e = lambda x: prm[x][:, None, :]
                             in_s = ((rows_i >= e("rb_min")) & (rows_i <= e("rb_max"))
                                     & e("overlap"))
-                            l = (rows_f - e("rbf_lo")) * e("inv_span")
-                            wu0 = e("uvlo0") + (e("uvhi0") - e("uvlo0")) * l
-                            wu1 = e("uvlo1") + (e("uvhi1") - e("uvlo1")) * l
-                            u = wu1 / wu0
-                            iu = jnp.where(jnp.isnan(u), 0,
-                                           jnp.floor(u).astype(jnp.int32))
-                            cl = e("base_col") + jnp.clip(iu, 0, e("len_m1"))
-                            if MCC:  # per-pixel select from the inline colors
-                                val = jnp.zeros_like(cl)
-                                for kk in range(MCC):
-                                    val = jnp.where(
-                                        cl == kk,
-                                        stk_r[0, 8 + MAXR + kk][:, None, :], val)
-                            else:
-                                val = cl
-                            chosen = jnp.where(in_s & ~claimed, val, chosen)
-                            claimed = claimed | in_s
                             in_c = ((rows_i >= e("rb2_min"))
                                     & (rows_i <= e("rb2_max")) & e("overlap2"))
-                            chosen = jnp.where(
-                                in_c & ~claimed,
-                                jnp.broadcast_to(e("cap_col"), tile.shape), chosen)
-                            claimed = claimed | in_c
-                        do = claimed & (tile < 0)
-                        raybuf_ref[:, pl.ds(w, 8), :] = jnp.where(do, chosen, tile)
-                        wrote = wrote | jnp.any(do, axis=1).astype(jnp.int32)
-                        return (w + 8, wrote)
+                            covs.append((in_s, in_c))
+                            anyc = anyc | jnp.any(in_s) | jnp.any(in_c)
+
+                        def busy_row():
+                            tile = raybuf_ref[:, pl.ds(w, 8), :]  # (BG, 8, 128)
+                            chosen = jnp.zeros_like(tile)
+                            claimed = jnp.zeros(tile.shape, jnp.bool_)
+                            for prm, (in_s, in_c) in zip(slots, covs):
+                                e = lambda x: prm[x][:, None, :]
+                                l = (rows_f - e("rbf_lo")) * e("inv_span")
+                                wu0 = e("uvlo0") + (e("uvhi0") - e("uvlo0")) * l
+                                wu1 = e("uvlo1") + (e("uvhi1") - e("uvlo1")) * l
+                                u = wu1 / wu0
+                                iu = jnp.where(jnp.isnan(u), 0,
+                                               jnp.floor(u).astype(jnp.int32))
+                                cl = e("base_col") + jnp.clip(iu, 0, e("len_m1"))
+                                if MCC:  # per-pixel select from the inline colors
+                                    val = jnp.zeros_like(cl)
+                                    for kk in range(MCC):
+                                        val = jnp.where(
+                                            cl == kk,
+                                            stk_r[0, 8 + MAXR + kk][:, None, :],
+                                            val)
+                                else:
+                                    val = cl
+                                chosen = jnp.where(in_s & ~claimed, val, chosen)
+                                claimed = claimed | in_s
+                                chosen = jnp.where(
+                                    in_c & ~claimed,
+                                    jnp.broadcast_to(e("cap_col"), tile.shape),
+                                    chosen)
+                                claimed = claimed | in_c
+                            do = claimed & (tile < 0)
+                            raybuf_ref[:, pl.ds(w, 8), :] = jnp.where(
+                                do, chosen, tile)
+                            return jnp.any(do, axis=1).astype(jnp.int32)
+
+                        wrote_add = jax.lax.cond(
+                            anyc, busy_row,
+                            lambda: jnp.zeros((BG, 128), jnp.int32))
+                        return (w + 8, wrote | wrote_add)
 
                     _, wrote = jax.lax.while_loop(wcond, wbody, (lo, wrote))
                     return wrote

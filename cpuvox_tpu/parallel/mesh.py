@@ -71,7 +71,9 @@ def shard_ray_state(rmesh: RenderMesh, static, dda, alive0, rs_like=None):
 
 def sharded_march(rmesh: RenderMesh, wa, static, dda, alive0, lod_distances,
                   far_clip, world_max_y, cam_y, **static_kwargs):
-    """Run the phase-1 march with rays sharded and the world replicated.
+    """Run the phase-1 march with rays sharded and the world replicated
+    (GSPMD over the XLA path — the fast-path equivalent is
+    render_frame_sharded below).
 
     Returns the raybuffer with replicated sharding (all-gathered for phase 2).
     """
@@ -85,3 +87,120 @@ def sharded_march(rmesh: RenderMesh, wa, static, dda, alive0, lod_distances,
         wa, static, dda, alive0, lod_distances, far_clip, world_max_y, cam_y,
         **static_kwargs)
     return jax.device_put(out, repl)
+
+
+# jitted shard_map frame functions keyed by (mesh, statics, wa structure)
+_FRAME_CACHE: dict = {}
+
+
+def _sharded_frame_fn(mesh, statics: tuple, wa_specs, argb_mode: bool,
+                      width: int, height: int, skybox_argb: int):
+    import jax.numpy as jnp
+
+    from cpuvox_tpu.render import reproject
+
+    key = (mesh, statics, jax.tree_util.tree_structure(wa_specs), argb_mode,
+           width, height, skybox_argb)
+    fn = _FRAME_CACHE.get(key)
+    if fn is not None:
+        return fn
+    kw = dict(statics)
+    ray_spec = P(("cam", "rays"))
+
+    def local_phase1(wa, static, dda, alive0, lodd, farc, camy):
+        return raymarch.phase1_pallas(
+            wa, static, dda, alive0, lodd, farc, cam_y=camy, **kw)
+
+    def frame(wa, static, dda, alive0, lodd, farc, camy,
+              tri_a, tri_b, tri_c, ray_count, ray_base, active):
+        static_specs = jax.tree_util.tree_map(lambda _: ray_spec, static)
+        dda_specs = jax.tree_util.tree_map(lambda _: ray_spec, dda)
+        sharded = jax.shard_map(
+            local_phase1, mesh=mesh,
+            in_specs=(wa_specs, static_specs, dda_specs, ray_spec, P(), P(),
+                      P()),
+            out_specs=ray_spec, check_vma=False)
+        raybuf = sharded(wa, static, dda, alive0, lodd, farc, camy)
+        # phase 2 runs replicated: XLA all-gathers the raybuffer rows over ICI
+        # (the reference's per-segment job results joining on the main thread,
+        # RenderManager.cs:363)
+        if argb_mode:
+            rb_bits = jax.lax.bitcast_convert_type(raybuf, jnp.int32)
+            screen_bits = reproject.reproject.__wrapped__(
+                rb_bits, tri_a, tri_b, tri_c, ray_count, ray_base, active,
+                width=width, height=height,
+                skybox=jax.lax.bitcast_convert_type(
+                    jnp.uint32(skybox_argb), jnp.int32))
+            return jax.lax.bitcast_convert_type(screen_bits, jnp.uint32)
+        screen_idx = reproject.reproject.__wrapped__(
+            raybuf, tri_a, tri_b, tri_c, ray_count, ray_base, active,
+            width=width, height=height, skybox=jnp.int32(0))
+        return raymarch.resolve_colors(screen_idx, wa.colors)
+
+    fn = jax.jit(frame, out_shardings=NamedSharding(mesh, P()))
+    _FRAME_CACHE[key] = fn
+    return fn
+
+
+def render_frame_sharded(renderer, cam, rmesh: RenderMesh):
+    """Render ONE camera's frame with phase 1 sharded over ALL mesh devices
+    through the Pallas fast path.
+
+    shard_map splits the ray axis (contiguous 1024-ray quanta) so each chip
+    marches its ray slice against the replicated world with the full staged
+    Pallas pipeline; the raybuffer shards join for phase 2 via the all-gather
+    XLA inserts.  This is the reference's per-segment parallel job split
+    (RenderManager.cs:358-361) lifted from worker threads to chips.
+
+    Returns an (H, W) uint32 ARGB numpy screen, bit-identical to
+    renderer.render(cam).
+    """
+    import jax.numpy as jnp
+
+    from cpuvox_tpu.render import device_init, reproject
+    from cpuvox_tpu.render import camera as cm
+    from cpuvox_tpu.render import segments as sg
+    from cpuvox_tpu.utils.colors import pack_argb
+
+    cfg = renderer.config
+    assert cfg.backend == "pallas", "render_frame_sharded is the fast path"
+    rw, rh = renderer.render_wh
+    dims = renderer.device_world.dims
+    n_dev = int(rmesh.mesh.devices.size)
+    quantum = 1024 * n_dev  # phase1_pallas needs 1024-divisible rays PER SHARD
+    R = ((3 * (rw + rh) + quantum - 1) // quantum) * quantum
+
+    cam, cam_data = renderer.setup_camera(cam)
+    vps = cm.vanishing_point_screen(cam, cm.vanishing_point_world(cam))
+    segs = sg.build_segments(cam, vps)
+    ctxs = sg.build_segment_contexts(cam, segs, vps)
+    fp = device_init.build_frame_params(cam_data, segs, ctxs)
+    n_td = segs[0].ray_count + segs[1].ray_count
+    tables = reproject.reproject_tables(segs, ctxs, vps, n_td)
+    static, dda, alive0, _ = raymarch.init_rays(
+        cam_data, segs, ctxs, dims, fixed_size=R)
+
+    interpret = cfg.pallas_interpret or jax.default_backend() == "cpu"
+    argb_mode = renderer.device_world.max_col_colors > 0
+    statics = dict(
+        iteration_direction=(
+            -1 if cam_data.inverse_element_iteration_direction else 1),
+        chunk=cfg.chunk_steps, max_chunks=cfg.max_march_chunks,
+        max_runs=renderer.device_world.max_runs, dims=dims,
+        pixel_len=max(rw, rh), world_max_y=float(dims[1]),
+        interpret=interpret,
+        max_col_colors=renderer.device_world.max_col_colors,
+        skybox_argb=int(pack_argb(*cfg.skybox_rgb)),
+        occupancy=renderer.occupancy_on)
+
+    wa = renderer._wa
+    wa_specs = jax.tree_util.tree_map(lambda _: P(), wa)
+    fn = _sharded_frame_fn(
+        rmesh.mesh, tuple(sorted(statics.items())), wa_specs, argb_mode,
+        rw, rh, int(pack_argb(*cfg.skybox_rgb)))
+    screen = fn(wa, static, dda, alive0, fp.lod_distances, fp.far_clip,
+                fp.cam_pos[1],
+                jnp.asarray(tables["tri_a"]), jnp.asarray(tables["tri_b"]),
+                jnp.asarray(tables["tri_c"]), jnp.asarray(tables["ray_count"]),
+                jnp.asarray(tables["ray_base"]), jnp.asarray(tables["active"]))
+    return np.asarray(screen)

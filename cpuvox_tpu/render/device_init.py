@@ -7,7 +7,12 @@ is re-expressed here as jnp on a tiny per-segment parameter table; the whole fra
 compiles into one dispatch whose inputs are a few hundred bytes of camera/segment data.
 
 Float semantics match the numpy init exactly (same float32 op order), keeping the
-bit-equality chain oracle == XLA == Pallas intact.
+bit-equality chain oracle == XLA == Pallas intact.  XLA contracts `a*b + c`
+into FMAs (no intermediate rounding), which drifts a few ULPs vs numpy's
+separately-rounded mul+add — round 2 saw that flip ~110 pixels on mesh+LOD
+content.  Every multiply whose result feeds an add/sub is therefore pinned
+with `_m` (optimization_barrier around the product), and the two tiny matmuls
+are expanded to numpy's sequential-accumulation order.
 """
 from __future__ import annotations
 
@@ -22,6 +27,22 @@ from .camera import CameraData
 from .raymarch import DDAState, RayStatic
 
 F = np.float32
+
+
+def _m(x):
+    """Pin a product's rounding (see module docstring) — blocks FMA contraction
+    with the surrounding add at zero cost (init is a trivial fraction of the
+    frame)."""
+    return jax.lax.optimization_barrier(x)
+
+
+def _mat4_vec(m, v4):
+    """numpy `m @ v` for (4,4) @ (4,): sequential left-to-right accumulation
+    with separately-rounded products."""
+    acc = _m(m[:, 0] * v4[0])
+    acc = acc + _m(m[:, 1] * v4[1])
+    acc = acc + _m(m[:, 2] * v4[2])
+    return acc + _m(m[:, 3] * v4[3])
 
 
 class FrameParams(NamedTuple):
@@ -91,8 +112,8 @@ def init_rays_device(p: FrameParams, dims, R: int):
     t = plane_index.astype(jnp.float32) / rc.astype(jnp.float32)
     lo = p.seg_plane_min[seg_id]
     hi = p.seg_plane_max[seg_id]
-    d = lo + (hi - lo) * t[:, None]
-    norm = jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True))
+    d = lo + _m((hi - lo) * t[:, None])
+    norm = jnp.sqrt(_m(d[:, 0] * d[:, 0]) + _m(d[:, 1] * d[:, 1]))[:, None]
     dirs = d / norm
     dirs = jnp.where(in_use[:, None], dirs, jnp.array([[1.0, 0.0]], jnp.float32))
 
@@ -107,7 +128,7 @@ def init_rays_device(p: FrameParams, dims, R: int):
     sign_dir = jnp.sign(dirs)
     stp = sign_dir.astype(jnp.int32)
     frac = start - jnp.floor(start)
-    tmax = (sign_dir * -frac[None, :] + sign_dir * 0.5 + 0.5) * tdelta
+    tmax = _m((_m(sign_dir * -frac[None, :]) + _m(sign_dir * 0.5) + 0.5) * tdelta)
     ids = jnp.stack([(tmax - tdelta).max(1), tmax.min(1)], axis=1)
     alive = in_use
     lod = jnp.zeros(R, jnp.int32)
@@ -155,12 +176,15 @@ def init_rays_device(p: FrameParams, dims, R: int):
 
     # --- SetupProjectedPlaneParams (:622-651)
     m = p.world_to_screen
-    pb4 = m @ jnp.array([start[0], 0.0, start[1], 1.0], jnp.float32)
-    pt4 = m @ jnp.concatenate([start[:1], world_max_y[None], start[1:],
-                               jnp.ones(1, jnp.float32)])
-    dir4 = jnp.stack([dirs[:, 0], jnp.zeros(R, jnp.float32), dirs[:, 1],
-                      jnp.zeros(R, jnp.float32)], axis=1)
-    pd4 = dir4 @ m.T
+    pb4 = _mat4_vec(m, (start[0], jnp.float32(0.0), start[1], jnp.float32(1.0)))
+    pt4 = _mat4_vec(m, (start[0], world_max_y, start[1], jnp.float32(1.0)))
+    # pd4[:, i] = sum_j dir4[j] * m[i, j], sequential like numpy's dir4 @ m.T;
+    # dir4 = (dirs.x, 0, dirs.z, 0)
+    zero = jnp.zeros(R, jnp.float32)
+    pd4 = jnp.stack([
+        ((_m(dirs[:, 0] * m[i, 0]) + _m(zero * m[i, 1]))
+         + _m(dirs[:, 1] * m[i, 2])) + _m(zero * m[i, 3])
+        for i in range(4)], axis=1)
     sel = jnp.where(axis_y[:, None] == 0, jnp.array([[0, 2, 3]]),
                     jnp.array([[1, 2, 3]]))
     plane_bottom = pb4[sel]
@@ -192,7 +216,7 @@ def _step_to_world_intersection_jnp(start, dirs, tdelta, dims_f):
     t_last = jnp.zeros_like(dirs)
     for ax, other in ((0, 1), (1, 0)):
         mask = use_x if ax == 0 else ~use_x
-        off = tmint * dirs[:, ax]
+        off = _m(tmint * dirs[:, ax])
         hitpos = start[ax] + off
         hitpos = jnp.where(dirs[:, ax] > 0, jnp.floor(hitpos), jnp.ceil(hitpos))
         tl = (hitpos - start[ax]) / dirs[:, ax]
@@ -201,6 +225,6 @@ def _step_to_world_intersection_jnp(start, dirs, tdelta, dims_f):
             jnp.where(mask, tmin[:, other], t_last[:, other]))
     new_tmax = t_last + tdelta
     ids = jnp.stack([t_last.max(1), new_tmax.min(1)], axis=1)
-    mid = ids[:, 0] + (ids[:, 1] - ids[:, 0]) * 0.5
-    pos = jnp.floor(start[None, :] + mid[:, None] * dirs).astype(jnp.int32)
+    mid = ids[:, 0] + _m((ids[:, 1] - ids[:, 0]) * 0.5)
+    pos = jnp.floor(start[None, :] + _m(mid[:, None] * dirs)).astype(jnp.int32)
     return hit, pos, new_tmax, ids

@@ -1042,19 +1042,57 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
             occ_rows = jax.lax.optimization_barrier(wa.occ_tiles[flat_ti])
             occ_rows = occ_rows.reshape(TS, Rk, occ_rows.shape[-1])
 
-            # per-step bit extract: select the step's tile row (TS-way) and
-            # bitmap word (4-way) with where-chains — no gathers
+            # per-step bit + tile cmin/cmax extract: select the step's tile row
+            # (TS-way) and bitmap word (4-way) with where-chains — no gathers
             slot_c = jnp.minimum(slot, TS - 1)
             w_idx = (xc & 15) >> 2
             wv = jnp.zeros((C, Rk), jnp.int32)
+            tcmin = jnp.zeros((C, Rk), jnp.int32)
+            tcmax = jnp.zeros((C, Rk), jnp.int32)
             for t in range(TS):
                 m = slot_c == t
                 for k in range(4):
                     wv = jnp.where(m & (w_idx == k),
                                    occ_rows[t, :, k][None, :], wv)
+                tcmin = jnp.where(m, occ_rows[t, :, 4][None, :], tcmin)
+                tcmax = jnp.where(m, occ_rows[t, :, 5][None, :], tcmax)
             bit_pos = ((xc & 3) << 3) | (zc & 7)
             bit = jnp.bitwise_and(jnp.right_shift(wv, bit_pos), 1)
-            gate = v_valid & ((bit != 0) | (slot >= TS))
+            overflow = slot >= TS
+            bitish = (bit != 0) | overflow
+
+            # ---- conservative frustum-window gate (the skip-column test of
+            # DrawSegmentRayJob.cs:258-281 lifted to tile granularity).  While a
+            # ray's frustum narrowing is active and UNTAINTED (no step this
+            # chunk could write or re-clip — fdir/f_active can only change at a
+            # processed cell), the kernel's per-step window is exactly
+            # [cam_y + fdir_min*db, cam_y + fdir_max*dt] with fdir frozen at
+            # chunk-start values — so a tile whose [cmin, cmax] misses that
+            # window is a provable skip_col for every column in it.  Margins
+            # absorb FMA-contraction ULP drift.  Steps where a CULL might fire
+            # (window outside the world kills the ray even on skipped columns,
+            # :261-281) count as triggers instead of skips.
+            WMYf = jnp.float32(world_max_y)
+            camy_r = consts["cam_y"].reshape(Rk)
+            fdmin_r = state["fdir_min"].reshape(Rk)[None, :]
+            fdmax_r = state["fdir_max"].reshape(Rk)[None, :]
+            fact0 = state["f_active"].reshape(Rk) != 0
+            dt = jnp.where(fdmax_r > 0, v_ids[:, :, 1], v_ids[:, :, 0])
+            db = jnp.where(fdmin_r < 0, v_ids[:, :, 1], v_ids[:, :, 0])
+            new_max = camy_r[None, :] + fdmax_r * dt
+            new_min = camy_r[None, :] + fdmin_r * db
+            margin = 1e-5 * (jnp.abs(new_max) + jnp.abs(new_min) + 1.0)
+            cull_might = (new_min + margin > WMYf) | (new_max - margin < 0.0)
+            excl = (fact0[None, :] & ~cull_might & ~overflow
+                    & ((tcmin.astype(jnp.float32) > new_max + margin)
+                       | (tcmax.astype(jnp.float32) < new_min - margin)))
+            # taint: from the first step the kernel might process, later windows
+            # are no longer bounded by the frozen-fdir form — stop skipping there
+            trigger = (v_valid & bitish & ~excl).astype(jnp.int32)
+            taint_before = jnp.concatenate(
+                [jnp.zeros((1, Rk), jnp.int32),
+                 jnp.cumsum(trigger[:-1], axis=0)], axis=0) > 0
+            gate = v_valid & bitish & (taint_before | ~excl)
 
             # Stage B: pack gated steps to a per-ray prefix (order-preserving —
             # keys are the step indices) and fetch + rasterize them in groups
