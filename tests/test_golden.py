@@ -18,8 +18,8 @@ from cpuvox_tpu.render.frame import Renderer
 from make_golden import CASES, GOLDEN_DIR, build
 
 
-@pytest.mark.parametrize("name,scene,pos,pitch,yaw", CASES)
-def test_xla_matches_golden(name, scene, pos, pitch, yaw):
+@pytest.mark.parametrize("name,scene,pos,pitch,yaw,roll", CASES)
+def test_xla_matches_golden(name, scene, pos, pitch, yaw, roll):
     path = os.path.join(GOLDEN_DIR, f"{name}.npz")
     assert os.path.exists(path), f"missing fixture {path} (run tests/make_golden.py)"
     g = np.load(path)
@@ -27,7 +27,8 @@ def test_xla_matches_golden(name, scene, pos, pitch, yaw):
     cfg = RenderConfig(width=64, height=48, backend="xla", chunk_steps=8,
                        max_march_chunks=64)
     r = Renderer.create([w] * 6, cfg)
-    cam = cm.Camera(position=pos, pitch_deg=pitch, yaw_deg=yaw, screen=(64, 48))
+    cam = cm.Camera(position=pos, pitch_deg=pitch, yaw_deg=yaw,
+                    roll_deg=roll, screen=(64, 48))
     screen, (td, lr, *_rest) = r.render(cam, return_raybuffers=True)
     np.testing.assert_array_equal(td, g["td"][:td.shape[0], :td.shape[1]],
                                   err_msg=f"{name}: topdown raybuffer drifted")
@@ -39,10 +40,11 @@ def test_xla_matches_golden(name, scene, pos, pitch, yaw):
 
 def test_oracle_matches_golden_spot():
     """One slow oracle-vs-fixture case: the fixture generator itself regressed?"""
-    name, scene, pos, pitch, yaw = CASES[1]
+    name, scene, pos, pitch, yaw, roll = CASES[1]
     g = np.load(os.path.join(GOLDEN_DIR, f"{name}.npz"))
     w = build(scene)
-    cam = cm.Camera(position=pos, pitch_deg=pitch, yaw_deg=yaw, screen=(64, 48))
+    cam = cm.Camera(position=pos, pitch_deg=pitch, yaw_deg=yaw,
+                    roll_deg=roll, screen=(64, 48))
     screen, _ = scenes.render_oracle_frame(w, cam)
     np.testing.assert_array_equal(screen, g["screen"])
 

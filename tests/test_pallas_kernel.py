@@ -12,10 +12,11 @@ SCREEN = (64, 48)
 
 
 def render_both(world_or_lods, campos, pitch, yaw=0.0, screen=SCREEN,
-                occupancy_gate="off"):
+                occupancy_gate="off", roll=0.0):
     lods = [world_or_lods] * 6 if isinstance(world_or_lods, rle.WorldLOD) \
         else world_or_lods
-    cam = cm.Camera(position=campos, pitch_deg=pitch, yaw_deg=yaw, screen=screen)
+    cam = cm.Camera(position=campos, pitch_deg=pitch, yaw_deg=yaw,
+                    roll_deg=roll, screen=screen)
     outs = {}
     for backend in ("xla", "pallas"):
         cfg = RenderConfig(width=screen[0], height=screen[1], chunk_steps=8,
@@ -64,6 +65,27 @@ def test_pallas_matches_xla(name, scene, pos, pitch, yaw, occupancy):
         raise AssertionError(
             f"{name}: {td_diff} td + {lr_diff} lr texels differ\n" + "\n".join(detail))
     assert np.array_equal(xs, ps), f"{name}: screens differ"
+
+
+@pytest.mark.parametrize("name,scene,pos,pitch,yaw,roll", [
+    ("roll30", "floor", (8, 5, 8), 30.0, 20.0, 30.0),
+    ("roll180", "random", (8, 10, 8), 25.0, 70.0, 180.0),
+    ("roll359", "tower", (8.5, 5, 2), 5.0, 0.0, 359.0),
+])
+def test_pallas_matches_xla_rolled(name, scene, pos, pitch, yaw, roll):
+    """Rolled cameras (the bench path rolls 180->360 over its last eighth)."""
+    if scene == "floor":
+        w = scenes.flat_floor_world()
+    elif scene == "tower":
+        w = scenes.tower_world(x=8, z=12, height=10)
+    else:
+        w = scenes.random_world(n=300, seed=5)
+    outs = render_both(w, pos, pitch, yaw, occupancy_gate="on", roll=roll)
+    xs, (xtd, xlr, *_) = outs["xla"]
+    ps, (ptd, plr, *_) = outs["pallas"]
+    assert np.array_equal(xtd, ptd), name
+    assert np.array_equal(xlr, plr), name
+    assert np.array_equal(xs, ps), name
 
 
 @pytest.mark.parametrize("occupancy", ["off", "on"])

@@ -12,12 +12,13 @@ SCREEN = (64, 48)
 
 
 def compare_frame(world_or_lods, campos, pitch, yaw=0.0, screen=SCREEN,
-                  lod_distances=None):
+                  lod_distances=None, roll=0.0):
     if isinstance(world_or_lods, rle.WorldLOD):
         lods = [world_or_lods] * 6
     else:
         lods = world_or_lods
-    cam0 = cm.Camera(position=campos, pitch_deg=pitch, yaw_deg=yaw, screen=screen)
+    cam0 = cm.Camera(position=campos, pitch_deg=pitch, yaw_deg=yaw,
+                     roll_deg=roll, screen=screen)
 
     # oracle
     oscreen, (otd, olr, segs, ctxs, vps, cam_data, cam) = scenes.render_oracle_frame(
@@ -77,6 +78,31 @@ def test_raybuffers_match_oracle(name, scene, pos, pitch, yaw):
     assert_buffers_equal(otd, olr, vtd, vlr, tag=name)
     sdiff = int(np.sum(oscreen != vscreen))
     assert sdiff == 0, f"{name}: {sdiff} screen pixels differ"
+
+
+# camera ROLL cases: the benchmark path rolls the camera 180->360 degrees over
+# its last eighth (bench/path.py _ROT_KEYS), so recorded TPU numbers exercise
+# rolled frames — these pin the oracle equality there (VERDICT r2 weak #3)
+ROLL_CASES = [
+    ("roll30", "floor", (8, 5, 8), 30.0, 20.0, 30.0),
+    ("roll180", "random", (8, 10, 8), 25.0, 70.0, 180.0),
+    ("roll359", "tower", (8.5, 5, 2), 5.0, 0.0, 359.0),
+    ("roll90_up", "random", (8, 6, 8), -15.0, 200.0, 90.0),
+]
+
+
+@pytest.mark.parametrize("name,scene,pos,pitch,yaw,roll", ROLL_CASES)
+def test_raybuffers_match_oracle_rolled(name, scene, pos, pitch, yaw, roll):
+    if scene == "floor":
+        w = scenes.flat_floor_world()
+    elif scene == "tower":
+        w = scenes.tower_world(x=8, z=12, height=10)
+    else:
+        w = scenes.random_world(n=300, seed=5)
+    oscreen, otd, olr, vscreen, vtd, vlr = compare_frame(w, pos, pitch, yaw,
+                                                         roll=roll)
+    assert_buffers_equal(otd, olr, vtd, vlr, tag=name)
+    assert int(np.sum(oscreen != vscreen)) == 0, f"{name}: screens differ"
 
 
 def test_lod_chain_matches():
