@@ -39,6 +39,20 @@ def build_world(scene: str):
 
     t0 = time.time()
     if scene.startswith("mill"):
+        try:
+            # device-voxelizer conversion in an x64 child process (the
+            # reference's task-per-core conversion re-designed as TPU offload)
+            from cpuvox_tpu.assets.convert_cli import convert_subprocess
+
+            convert_subprocess("/root/reference/datasets/mill.obj", cache,
+                               max_dimension=int(scene[4:] or "256"),
+                               lod_levels=6)
+            lods = load_world(cache)
+            log(f"converted {scene} on device in {time.time() - t0:.1f}s "
+                f"({lods[0].voxel_count} voxels)")
+            return lods
+        except Exception as e:
+            log(f"device convert failed ({e}); numpy fallback")
         from cpuvox_tpu.assets.pipeline import convert_obj_to_world
 
         lods = convert_obj_to_world("/root/reference/datasets/mill.obj",

@@ -40,15 +40,12 @@ def _normalize(v):
     return v / n
 
 
-def voxelize_mesh(
-    mesh: SimpleMesh, dims: tuple[int, int, int], chunk_candidates: int = 4_000_000
-):
-    """Voxelize a (rescaled) mesh into a voxel soup.
+DW = 4  # depth-window cells per (u, v) candidate
 
-    Returns (xz_index int64, y int64, (r, g, b) uint8 arrays) ready for
-    world.build_lod_from_voxels.  xz_index = x * dims[2] + z (VoxelizerHelper.cs:114,
-    with maxDimensions.z + 1 == dims.z).
-    """
+
+def _prepare_triangles(mesh: SimpleMesh, dims):
+    """Shared host prep for both voxelizer paths: dilation, AABBs, dominant
+    axis, candidate counts (all the per-TRIANGLE tables)."""
     max_dim = np.array(dims, np.int64) - 1
     tris = mesh.positions.reshape(-1, 3, 3).astype(F)
     tcolors = mesh.colors.reshape(-1, 3, 4).astype(F) / F(255.0)
@@ -74,10 +71,6 @@ def voxelize_mesh(
         maxi = np.clip(np.ceil(maxf), 0, max_dim).astype(np.int64)
     span = np.where(valid_tri[:, None], maxi - mini + 1, 0)
 
-    # dominant-axis 2-D rasterization (see module docstring): candidates are the
-    # (u, v) AABB cells x a DW-cell depth window around the plane, not the full
-    # 3-D AABB — O(area) instead of O(volume), identical output set
-    DW = 4
     ar = np.arange(n_tris)
     with np.errstate(invalid="ignore"):
         d_ax = np.argmax(np.abs(np.where(np.isnan(normal), 0, normal)), axis=1)
@@ -88,6 +81,26 @@ def voxelize_mesh(
     counts = su * sv * DW
     counts[~valid_tri] = 0
     plane_off = np.sum(normal * ad, axis=-1, dtype=F)  # n . (dilated a)
+    return dict(tcolors=tcolors, tuvs=tuvs, tmat=tmat, valid_tri=valid_tri,
+                normal=normal, ad=ad, bd=bd, cd=cd, mini=mini, maxi=maxi,
+                d_ax=d_ax, sv=sv, counts=counts, plane_off=plane_off)
+
+
+def voxelize_mesh(
+    mesh: SimpleMesh, dims: tuple[int, int, int], chunk_candidates: int = 4_000_000
+):
+    """Voxelize a (rescaled) mesh into a voxel soup.
+
+    Returns (xz_index int64, y int64, (r, g, b) uint8 arrays) ready for
+    world.build_lod_from_voxels.  xz_index = x * dims[2] + z (VoxelizerHelper.cs:114,
+    with maxDimensions.z + 1 == dims.z).
+    """
+    pr = _prepare_triangles(mesh, dims)
+    tcolors, tuvs, tmat = pr["tcolors"], pr["tuvs"], pr["tmat"]
+    valid_tri, normal = pr["valid_tri"], pr["normal"]
+    ad, bd, cd = pr["ad"], pr["bd"], pr["cd"]
+    mini, maxi, d_ax = pr["mini"], pr["maxi"], pr["d_ax"]
+    sv, counts, plane_off = pr["sv"], pr["counts"], pr["plane_off"]
 
     out_xz, out_y, out_r, out_g, out_b = [], [], [], [], []
 
@@ -195,12 +208,19 @@ def voxelize_mesh(
             tri_k = tri_of[keep]
             bary_k = bary[keep].astype(F)
             colors3 = tcolors[tri_k]  # (k, 3 verts, 4)
-            col = np.einsum("kv,kvc->kc", bary_k, colors3[:, :, :3]).astype(F)
+            # explicit sequential blend (NOT einsum) so the device path can
+            # reproduce the float op order bit-for-bit
+            col = (bary_k[:, 0:1] * colors3[:, 0, :3]
+                   + bary_k[:, 1:2] * colors3[:, 1, :3]
+                   + bary_k[:, 2:3] * colors3[:, 2, :3]).astype(F)
 
             mats = tmat[tri_k]
             alpha_keep = np.ones(tri_k.shape[0], bool)
             if mesh.materials and np.any(mats >= 0):
-                uv = np.einsum("kv,kvc->kc", bary_k, tuvs[tri_k]).astype(F)
+                uvs3 = tuvs[tri_k]
+                uv = (bary_k[:, 0:1] * uvs3[:, 0]
+                      + bary_k[:, 1:2] * uvs3[:, 1]
+                      + bary_k[:, 2:3] * uvs3[:, 2]).astype(F)
                 for mi, mat in enumerate(mesh.materials):
                     m = mats == mi
                     if not np.any(m) or mat.diffuse is None:
@@ -229,3 +249,257 @@ def voxelize_mesh(
         np.concatenate(out_y),
         (np.concatenate(out_r), np.concatenate(out_g), np.concatenate(out_b)),
     )
+
+
+# --------------------------------------------------------- TPU-offloaded path
+
+
+def _vox_chunk_fn():
+    """Build the jitted per-chunk device kernel (lazy: jax import only here)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit,
+                       static_argnames=("N", "dax", "dims", "slack_f"))
+    def chunk(tabf, tabi, counts, total, N, dax, dims, slack_f):
+        f32 = jnp.float32
+        f64 = jnp.float64
+
+        # pin product rounding for numpy parity: a bare `a*b + c` contracts to
+        # an FMA at LLVM/Mosaic codegen (optimization_barrier and bitcast
+        # round-trips do NOT stop it — measured on the CPU backend), but
+        # multiplying by a runtime-opaque 1.0 makes the contraction consume
+        # the harmless outer multiply, preserving the inner product's rounding
+        one = jnp.where(total >= 0, f32(1.0), f32(2.0))
+
+        def _b(x):
+            return x * one
+        idx = jnp.arange(N, dtype=jnp.int32)
+        valid = idx < total
+        csum = jnp.cumsum(counts)
+        offs = csum - counts
+        # triangle-of-candidate WITHOUT searchsorted (which lowers to a
+        # per-query binary-search loop of gathers): one tiny scatter marks each
+        # triangle's first candidate, a cumsum spreads it — offs is strictly
+        # increasing (counts > 0), so marks never collide
+        marks = jnp.zeros(N, jnp.int32).at[jnp.minimum(offs, N - 1)].add(
+            jnp.where(counts > 0, 1, 0))
+        t = jnp.cumsum(marks) - 1
+        t = jnp.clip(t, 0, counts.shape[0] - 1)
+        ri = tabi[t]  # (N, 8) int32: mini_u, mini_v, mini_d, maxi_d, sv, off
+        rf = tabf[t]  # (N, 32) f32 (layout below)
+        within = idx - ri[:, 5]
+        jd = within & (DW - 1)
+        rest = within >> 2
+        sv_c = ri[:, 4]
+        # iu = rest // sv exactly: f32 divide then an exact-integer fixup (the
+        # quotient is at most 1 off; products stay < 2^24 so the tests are
+        # exact in int32)
+        iu = jnp.floor(rest.astype(f32) / sv_c.astype(f32)).astype(jnp.int32)
+        iu = iu - (iu * sv_c > rest) + ((iu + 1) * sv_c <= rest)
+        iv = rest - iu * sv_c
+        cu = ri[:, 0] + iu
+        cv = ri[:, 1] + iv
+
+        nu, nv, nd, po = rf[:, 0], rf[:, 1], rf[:, 2], rf[:, 3]
+        cuf = cu.astype(f32) + f32(0.5)
+        cvf = cv.astype(f32) + f32(0.5)
+        q = po - _b(nu * cuf) - _b(nv * cvf)
+        # window placement may round differently than numpy here (TPU f32
+        # divide); the DW window has >1 cell of slack on each side, so a
+        # 1-ulp-shifted floor still covers every qualifying depth — and the
+        # exact tests below decide membership, so output is unaffected
+        dc = q / nd
+        half = f32(0.5) / jnp.abs(nd)
+        dlo = jnp.floor(dc - f32(0.5) - half)
+        dlo = jnp.where(jnp.isfinite(dlo), dlo, 0).astype(jnp.int32)
+        cdp = dlo + jd
+        dist_q = _b(nd * (cdp.astype(f32) + f32(0.5))) - q
+        pre = ((cdp >= ri[:, 2]) & (cdp <= ri[:, 3])
+               & (jnp.abs(dist_q) <= f32(0.5) + f32(slack_f)) & valid)
+
+        # world coords by static dominant-axis mapping
+        uax, vax = (dax + 1) % 3, (dax + 2) % 3
+        cs = [None, None, None]
+        cs[uax], cs[vax], cs[dax] = cu, cv, cdp
+        cf = [c.astype(f32) + f32(0.5) for c in cs]
+
+        an = [rf[:, 4 + k] for k in range(3)]
+        bn = [rf[:, 7 + k] for k in range(3)]
+        cn = [rf[:, 10 + k] for k in range(3)]
+        nrm = [rf[:, 13 + k] for k in range(3)]
+        # exact reference plane test — numpy's sequential 3-term sum, products
+        # separately rounded
+        dist = (_b((cf[0] - an[0]) * nrm[0]) + _b((cf[1] - an[1]) * nrm[1])
+                + _b((cf[2] - an[2]) * nrm[2]))
+        keep = pre & (jnp.abs(dist) <= f32(0.5))
+
+        p = [cf[k] - _b(nrm[k] * dist) for k in range(3)]
+        p0 = [bn[k] - an[k] for k in range(3)]
+        p1 = [cn[k] - an[k] for k in range(3)]
+        p2 = [p[k] - an[k] for k in range(3)]
+
+        def dot3(x, y):
+            return _b(x[0] * y[0]) + _b(x[1] * y[1]) + _b(x[2] * y[2])
+
+        d00 = dot3(p0, p0)
+        d01 = dot3(p0, p1)
+        d11 = dot3(p1, p1)
+        d20 = dot3(p2, p0)
+        d21 = dot3(p2, p1)
+        den = _b(d00 * d11) - _b(d01 * d01)
+        # the reciprocal decides keep/drop at triangle edges, so it must round
+        # exactly like numpy's IEEE f32 divide; TPU native f32 divide is NOT
+        # correctly rounded (~35% of results differ by an ulp) but f64-divide-
+        # then-round is (2p+2 digits), hence the x64 requirement
+        denom = (f64(1.0) / den.astype(f64)).astype(f32)
+        bv = _b((_b(d11 * d20) - _b(d01 * d21)) * denom)
+        bw = _b((_b(d00 * d21) - _b(d01 * d20)) * denom)
+        bu = f32(1.0) - bv - bw
+        outside = ((bu < 0) | (bu > 1) | (bv < 0) | (bv > 1)
+                   | (bw < 0) | (bw > 1))
+        keep = keep & ~outside
+        keep = keep & ~(jnp.isnan(bu) | jnp.isnan(bv) | jnp.isnan(bw))
+
+        c0 = [rf[:, 16 + k] for k in range(3)]
+        c1 = [rf[:, 19 + k] for k in range(3)]
+        c2 = [rf[:, 22 + k] for k in range(3)]
+        col = [_b(bu * c0[k]) + _b(bv * c1[k]) + _b(bw * c2[k])
+               for k in range(3)]
+        byte = [jnp.clip(jnp.round(col[k] * f32(255.0)), 0, 255)
+                .astype(jnp.int32) for k in range(3)]
+        rgb = byte[0] | (byte[1] << 8) | (byte[2] << 16)
+        xz = cs[0] * jnp.int32(dims[2]) + cs[2]
+
+        # sort-pack the kept voxels to a prefix (kept order preserved — keys
+        # are the candidate indices); measured ~12x faster than a scatter-pack
+        # on this TPU (61 ms vs 731 ms at 8M rows)
+        pkey = jnp.where(keep, idx, jnp.int32(np.int32(2**31 - 1)))
+        _, xz_p, y_p, rgb_p = jax.lax.sort((pkey, xz, cs[1], rgb), num_keys=1)
+        out = jnp.stack([xz_p, y_p, rgb_p], axis=1)
+        return out, keep.sum()
+
+    return chunk
+
+
+def voxelize_mesh_device(mesh: SimpleMesh, dims: tuple[int, int, int],
+                         chunk_candidates: int = 8_000_000,
+                         return_device: bool = False):
+    """TPU/device-offloaded voxelizer — output-identical to voxelize_mesh.
+
+    The per-candidate math (the single-host-core bottleneck: ~90 s of the
+    2048^3 conversion; the reference splits this across cores,
+    WordBuilder.cs:41-96) runs as jitted device chunks; the host keeps only the
+    tiny per-triangle tables and result collection.
+
+    Requires jax_enable_x64: the keep/drop-deciding reciprocal is routed
+    through f64 so it rounds exactly like numpy's IEEE f32 divide (TPU native
+    f32 divide is not correctly rounded).  Falls back to the numpy path when
+    the mesh has materials (texture sampling stays host-side).
+    """
+    import jax
+
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError("voxelize_mesh_device requires jax_enable_x64 "
+                           "(run conversion with JAX_ENABLE_X64=1)")
+    if mesh.materials and np.any(mesh.material_index >= 0):
+        return voxelize_mesh(mesh, dims)
+
+    import jax.numpy as jnp
+
+    pr = _prepare_triangles(mesh, dims)
+    mini, maxi, d_ax = pr["mini"], pr["maxi"], pr["d_ax"]
+    counts, sv, plane_off = pr["counts"], pr["sv"], pr["plane_off"]
+    normal, ad, bd, cd = pr["normal"], pr["ad"], pr["bd"], pr["cd"]
+    tcolors, valid_tri = pr["tcolors"], pr["valid_tri"]
+    slack = float(np.float32(1e-3) + np.float32(8.0)
+                  * np.float32(np.finfo(np.float32).eps) * np.float32(max(dims)))
+    chunk_fn = _vox_chunk_fn()
+
+    out_parts = []
+    for dax in range(3):
+        uax, vax = (dax + 1) % 3, (dax + 2) % 3
+        gsel = np.nonzero(valid_tri & (d_ax == dax) & (counts > 0))[0]
+        if gsel.size == 0:
+            continue
+        csum = np.cumsum(counts[gsel])
+        gstart = 0
+        while gstart < gsel.size:
+            target = (csum[gstart - 1] if gstart else 0) + chunk_candidates
+            gend = int(np.searchsorted(csum, target)) + 1
+            gend = min(max(gend, gstart + 1), gsel.size)
+            sel = gsel[gstart:gend]
+            gstart = gend
+
+            total = int(counts[sel].sum())
+            n_sel = sel.shape[0]
+            # pow2 buckets (min 1024 triangles) keep the jit-signature zoo
+            # small; the persistent compile cache amortizes across runs
+            ns_pad = max(1024, 1 << int(np.ceil(np.log2(max(n_sel, 1)))))
+            n_pad = 1 << int(np.ceil(np.log2(max(total, 2))))
+
+            cnts = np.zeros(ns_pad, np.int32)
+            cnts[:n_sel] = counts[sel]
+            tabi = np.zeros((ns_pad, 8), np.int32)
+            tabi[:n_sel, 0] = mini[sel, uax]
+            tabi[:n_sel, 1] = mini[sel, vax]
+            tabi[:n_sel, 2] = mini[sel, dax]
+            tabi[:n_sel, 3] = maxi[sel, dax]
+            tabi[:n_sel, 4] = sv[sel]
+            tabi[:, 4] = np.maximum(tabi[:, 4], 1)  # pad rows: no div-by-zero
+            tabi[:, 5] = np.cumsum(cnts) - cnts  # candidate offset per tri
+
+            tabf = np.zeros((ns_pad, 32), F)
+            tabf[:n_sel, 0] = normal[sel, uax]
+            tabf[:n_sel, 1] = normal[sel, vax]
+            tabf[:n_sel, 2] = normal[sel, dax]
+            tabf[:n_sel, 3] = plane_off[sel]
+            tabf[:n_sel, 4:7] = ad[sel]
+            tabf[:n_sel, 7:10] = bd[sel]
+            tabf[:n_sel, 10:13] = cd[sel]
+            tabf[:n_sel, 13:16] = normal[sel]
+            tabf[:n_sel, 16:19] = tcolors[sel, 0, :3]
+            tabf[:n_sel, 19:22] = tcolors[sel, 1, :3]
+            tabf[:n_sel, 22:25] = tcolors[sel, 2, :3]
+
+            out, cnt = chunk_fn(jnp.asarray(tabf), jnp.asarray(tabi),
+                                jnp.asarray(cnts), np.int32(total),
+                                N=n_pad, dax=dax, dims=tuple(dims),
+                                slack_f=slack)
+            cnt = int(cnt)
+            if cnt:
+                # slice at a pow2 bucket: a raw out[:cnt] would compile a new
+                # slice program for every distinct count
+                k_pad = min(1 << int(np.ceil(np.log2(cnt))), out.shape[0])
+                if return_device:
+                    out_parts.append((out[:k_pad], cnt))
+                else:
+                    out_parts.append(np.asarray(out[:k_pad])[:cnt])
+
+    if return_device:
+        # hand the soup to the device LOD builder without crossing the tunnel
+        import jax.numpy as jnp
+
+        if not out_parts:
+            z = jnp.zeros(1, jnp.int32)
+            return z, z, z, jnp.zeros(1, bool)
+        vals = jnp.concatenate([p for p, _ in out_parts])
+        valid = np.concatenate(
+            [np.arange(p.shape[0]) < c for p, c in out_parts])
+        B = -(-vals.shape[0] // (1 << 20)) * (1 << 20)  # 1M-multiple bucket
+        vals = jnp.pad(vals, ((0, B - vals.shape[0]), (0, 0)))
+        valid = jnp.asarray(np.pad(valid, (0, B - valid.shape[0])))
+        return vals[:, 0], vals[:, 1], vals[:, 2], valid
+
+    if not out_parts:
+        z = np.zeros(0, np.int64)
+        u = np.zeros(0, np.uint8)
+        return z, z.copy(), (u, u.copy(), u.copy())
+    allv = np.concatenate(out_parts)
+    rgb = allv[:, 2]
+    return (allv[:, 0].astype(np.int64), allv[:, 1].astype(np.int64),
+            ((rgb & 0xFF).astype(np.uint8),
+             ((rgb >> 8) & 0xFF).astype(np.uint8),
+             ((rgb >> 16) & 0xFF).astype(np.uint8)))

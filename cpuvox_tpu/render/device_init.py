@@ -10,9 +10,18 @@ Float semantics match the numpy init exactly (same float32 op order), keeping th
 bit-equality chain oracle == XLA == Pallas intact.  XLA contracts `a*b + c`
 into FMAs (no intermediate rounding), which drifts a few ULPs vs numpy's
 separately-rounded mul+add — round 2 saw that flip ~110 pixels on mesh+LOD
-content.  Every multiply whose result feeds an add/sub is therefore pinned
-with `_m` (optimization_barrier around the product), and the two tiny matmuls
-are expanded to numpy's sequential-accumulation order.
+content.  Every multiply whose result feeds an add/sub is therefore pinned by
+multiplying it with a runtime-opaque 1.0 (`_pin_one`): the backend's FMA
+contraction then consumes the harmless outer multiply and the product's own
+rounding survives.  (optimization_barrier and bitcast round-trips do NOT stop
+the contraction — it happens at LLVM/Mosaic codegen, measured on the CPU
+backend.)  The two tiny matmuls are also expanded to numpy's
+sequential-accumulation order.
+
+Full device/host bit-equality remains blocked on TPU hardware divide/sqrt
+rounding (~35% of f32 divides differ from IEEE by an ulp; f64->f32 is
+correctly rounded but requires process-global x64) — host_init stays the
+single-camera default; this path serves the batched rollout mode.
 """
 from __future__ import annotations
 
@@ -29,14 +38,12 @@ from .raymarch import DDAState, RayStatic
 F = np.float32
 
 
-def _m(x):
-    """Pin a product's rounding (see module docstring) — blocks FMA contraction
-    with the surrounding add at zero cost (init is a trivial fraction of the
-    frame)."""
-    return jax.lax.optimization_barrier(x)
+def _pin_one(p: "FrameParams"):
+    """A runtime-opaque float32 1.0 (see module docstring)."""
+    return jnp.where(p.far_clip >= 0, jnp.float32(1.0), jnp.float32(2.0))
 
 
-def _mat4_vec(m, v4):
+def _mat4_vec(m, v4, _m):
     """numpy `m @ v` for (4,4) @ (4,): sequential left-to-right accumulation
     with separately-rounded products."""
     acc = _m(m[:, 0] * v4[0])
@@ -98,6 +105,10 @@ def init_rays_device(p: FrameParams, dims, R: int):
     X, Z = dims[0], dims[2]
     world_max_y = jnp.float32(dims[1])
     ray_ids = jnp.arange(R, dtype=jnp.int32)
+    one = _pin_one(p)
+
+    def _m(x):
+        return x * one
 
     # segment membership: seg_ray_start is cumulative, so searchsorted-style select
     ends = p.seg_ray_start + p.seg_ray_count  # (4,)
@@ -141,7 +152,7 @@ def init_rays_device(p: FrameParams, dims, R: int):
     def handle_outside(args):
         pos, tmax, tdelta, stp, ids, lod, alive = args
         hit, n_pos, n_tmax, n_ids = _step_to_world_intersection_jnp(
-            start, dirs, tdelta, jnp.array([X, Z], jnp.float32))
+            start, dirs, tdelta, jnp.array([X, Z], jnp.float32), _m)
         alive = alive & hit
         pos = n_pos
         tmax = n_tmax
@@ -176,8 +187,9 @@ def init_rays_device(p: FrameParams, dims, R: int):
 
     # --- SetupProjectedPlaneParams (:622-651)
     m = p.world_to_screen
-    pb4 = _mat4_vec(m, (start[0], jnp.float32(0.0), start[1], jnp.float32(1.0)))
-    pt4 = _mat4_vec(m, (start[0], world_max_y, start[1], jnp.float32(1.0)))
+    pb4 = _mat4_vec(m, (start[0], jnp.float32(0.0), start[1], jnp.float32(1.0)),
+                    _m)
+    pt4 = _mat4_vec(m, (start[0], world_max_y, start[1], jnp.float32(1.0)), _m)
     # pd4[:, i] = sum_j dir4[j] * m[i, j], sequential like numpy's dir4 @ m.T;
     # dir4 = (dirs.x, 0, dirs.z, 0)
     zero = jnp.zeros(R, jnp.float32)
@@ -197,7 +209,7 @@ def init_rays_device(p: FrameParams, dims, R: int):
     return static, dda, alive
 
 
-def _step_to_world_intersection_jnp(start, dirs, tdelta, dims_f):
+def _step_to_world_intersection_jnp(start, dirs, tdelta, dims_f, _m):
     """SegmentDDAData.StepToWorldIntersection (:75-130), batched jnp."""
     inf = jnp.float32(np.inf)
     tmin = jnp.full_like(dirs, -inf)

@@ -30,6 +30,9 @@ def parse_args():
     ap.add_argument("--mode", default="screen",
                     choices=["screen", "raybuffer-topdown", "raybuffer-leftright"])
     ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--interactive", action="store_true",
+                    help="live terminal loop (WASD + arrows; reference key 1-3 "
+                         "render modes; UnityManager.Update equivalent)")
     ap.add_argument("--flythrough", action="store_true",
                     help="use the benchmark path instead of an orbit")
     ap.add_argument("--backend", default=None, choices=[None, "pallas", "xla"])
@@ -85,6 +88,14 @@ def main():
                        **({"backend": args.backend} if args.backend else {}))
     with PROFILER.scope("create-renderer"):
         renderer = Renderer.create(lods, cfg)
+
+    if args.interactive:
+        from cpuvox_tpu.frontend.interactive import (InteractiveSession,
+                                                     run_terminal)
+
+        session = InteractiveSession.create(lods, cfg, renderer=renderer)
+        run_terminal(session)
+        return
 
     def camera_at(i):
         if args.flythrough:

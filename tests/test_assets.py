@@ -82,6 +82,56 @@ class TestRescale:
         assert m.positions[:, 0].max() == 64.0  # 64 - 0
 
 
+def test_device_voxelizer_matches_numpy_subprocess():
+    """voxelize_mesh_device must produce the IDENTICAL voxel soup (values AND
+    order) as the numpy path.  It needs process-global x64 (its keep-deciding
+    reciprocal rounds through f64), which the test process must not enable —
+    so the comparison runs in a child."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from cpuvox_tpu.assets.obj import import_obj
+from cpuvox_tpu.assets.mesh import rescale
+from cpuvox_tpu.assets.voxelizer import voxelize_mesh, voxelize_mesh_device
+
+mesh = import_obj("/root/reference/datasets/mill.obj")
+rescale(mesh, 96)
+a = voxelize_mesh(mesh, (96, 96, 96))
+b = voxelize_mesh_device(mesh, (96, 96, 96), chunk_candidates=200_000)
+assert a[0].shape == b[0].shape, (a[0].shape, b[0].shape)
+assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+assert all(np.array_equal(x, y) for x, y in zip(a[2], b[2]))
+
+# full pipeline: device soup + device LOD chain vs host chain, every field
+from cpuvox_tpu.assets.pipeline import convert_obj_to_world
+host = convert_obj_to_world("/root/reference/datasets/mill.obj",
+                            max_dimension=96)
+dev = convert_obj_to_world("/root/reference/datasets/mill.obj",
+                           max_dimension=96, device=True)
+fields = ("col_offset", "col_runs", "col_color_offset", "col_min", "col_max",
+          "runs", "colors")
+for L, (h, d) in enumerate(zip(host, dev)):
+    for f in fields:
+        assert np.array_equal(getattr(h, f), getattr(d, f)), (L, f)
+print("device voxelizer identical:", a[0].shape[0], "voxels; chain identical")
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_ENABLE_X64"] = "1"
+    proc = subprocess.run([sys.executable, "-c", code.format(repo=repo)],
+                          env=env, capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "identical" in proc.stdout
+
+
 class TestVoxelizer:
     @pytest.mark.parametrize("seed", [0, 1, 2])
     def test_vs_slow_reference(self, seed):
