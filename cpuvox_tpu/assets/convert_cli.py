@@ -48,6 +48,11 @@ def main(argv=None):
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--host", action="store_true",
                     help="use the numpy voxelizer instead of the device one")
+    ap.add_argument("--repeat", action="store_true",
+                    help="convert twice and report both wall times: the first "
+                         "pays this environment's per-process remote-executable "
+                         "loads (1-100s of variance), the second is the "
+                         "steady-state pipeline time")
     a = ap.parse_args(argv)
 
     if not a.host:
@@ -58,12 +63,26 @@ def main(argv=None):
         from cpuvox_tpu.utils.jaxcache import enable_persistent_cache
 
         print(f"compile cache: {enable_persistent_cache()}", file=sys.stderr)
+        print(f"backend: {jax.default_backend()} {jax.devices()}",
+              file=sys.stderr)
+
+    import time
 
     from cpuvox_tpu.assets.pipeline import convert_obj_to_world
 
+    t0 = time.perf_counter()
     convert_obj_to_world(a.obj_path, max_dimension=a.max_dim,
                          lod_levels=a.lod_levels, save_path=a.save_path,
                          verbose=a.verbose, device=not a.host)
+    t_cold = time.perf_counter() - t0
+    print(f"convert wall: {t_cold:.1f}s", file=sys.stderr)
+    if a.repeat:
+        t0 = time.perf_counter()
+        convert_obj_to_world(a.obj_path, max_dimension=a.max_dim,
+                             lod_levels=a.lod_levels, save_path=a.save_path,
+                             verbose=a.verbose, device=not a.host)
+        print(f"convert wall (steady-state): {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -261,9 +261,13 @@ def _vox_chunk_fn():
     import jax
     import jax.numpy as jnp
 
-    @functools.partial(jax.jit,
-                       static_argnames=("N", "dax", "dims", "slack_f"))
-    def chunk(tabf, tabi, counts, total, N, dax, dims, slack_f):
+    @functools.partial(jax.jit, static_argnames=("N",))
+    def chunk(tabf, tabi, counts, base, total, dax, z_dim, slack_f, N):
+        # ONE executable serves every chunk of every world: the dominant axis
+        # `dax`, the candidate window [base, base+N), the world z-dim and the
+        # prefilter slack are all TRACED — each distinct jit signature costs a
+        # multi-second cached-executable load through this environment's
+        # tunnel, which dwarfed the actual compute
         f32 = jnp.float32
         f64 = jnp.float64
 
@@ -276,16 +280,19 @@ def _vox_chunk_fn():
 
         def _b(x):
             return x * one
-        idx = jnp.arange(N, dtype=jnp.int32)
+        idx = base + jnp.arange(N, dtype=jnp.int32)
         valid = idx < total
         csum = jnp.cumsum(counts)
         offs = csum - counts
         # triangle-of-candidate WITHOUT searchsorted (which lowers to a
         # per-query binary-search loop of gathers): one tiny scatter marks each
-        # triangle's first candidate, a cumsum spreads it — offs is strictly
-        # increasing (counts > 0), so marks never collide
-        marks = jnp.zeros(N, jnp.int32).at[jnp.minimum(offs, N - 1)].add(
-            jnp.where(counts > 0, 1, 0))
+        # triangle's first candidate, a cumsum spreads it.  offs is strictly
+        # increasing (counts > 0) so in-window marks never collide; triangles
+        # starting before the window stack their marks at slot 0 (the cumsum
+        # still counts them), and triangles past the window add none
+        rel = offs - base
+        marks = jnp.zeros(N, jnp.int32).at[jnp.clip(rel, 0, N - 1)].add(
+            jnp.where((counts > 0) & (rel < N), 1, 0))
         t = jnp.cumsum(marks) - 1
         t = jnp.clip(t, 0, counts.shape[0] - 1)
         ri = tabi[t]  # (N, 8) int32: mini_u, mini_v, mini_d, maxi_d, sv, off
@@ -318,12 +325,13 @@ def _vox_chunk_fn():
         cdp = dlo + jd
         dist_q = _b(nd * (cdp.astype(f32) + f32(0.5))) - q
         pre = ((cdp >= ri[:, 2]) & (cdp <= ri[:, 3])
-               & (jnp.abs(dist_q) <= f32(0.5) + f32(slack_f)) & valid)
+               & (jnp.abs(dist_q) <= f32(0.5) + slack_f) & valid)
 
-        # world coords by static dominant-axis mapping
-        uax, vax = (dax + 1) % 3, (dax + 2) % 3
-        cs = [None, None, None]
-        cs[uax], cs[vax], cs[dax] = cu, cv, cdp
+        # world coords by (traced) dominant-axis mapping:
+        # dax=0 -> (u,v)=(y,z); dax=1 -> (u,v)=(z,x); dax=2 -> (u,v)=(x,y)
+        cs = [jnp.where(dax == 0, cdp, jnp.where(dax == 1, cv, cu)),
+              jnp.where(dax == 0, cu, jnp.where(dax == 1, cdp, cv)),
+              jnp.where(dax == 0, cv, jnp.where(dax == 1, cu, cdp))]
         cf = [c.astype(f32) + f32(0.5) for c in cs]
 
         an = [rf[:, 4 + k] for k in range(3)]
@@ -371,7 +379,7 @@ def _vox_chunk_fn():
         byte = [jnp.clip(jnp.round(col[k] * f32(255.0)), 0, 255)
                 .astype(jnp.int32) for k in range(3)]
         rgb = byte[0] | (byte[1] << 8) | (byte[2] << 16)
-        xz = cs[0] * jnp.int32(dims[2]) + cs[2]
+        xz = cs[0] * z_dim + cs[2]
 
         # sort-pack the kept voxels to a prefix (kept order preserved — keys
         # are the candidate indices); measured ~12x faster than a scatter-pack
@@ -435,10 +443,11 @@ def voxelize_mesh_device(mesh: SimpleMesh, dims: tuple[int, int, int],
 
             total = int(counts[sel].sum())
             n_sel = sel.shape[0]
-            # pow2 buckets (min 1024 triangles) keep the jit-signature zoo
-            # small; the persistent compile cache amortizes across runs
-            ns_pad = max(1024, 1 << int(np.ceil(np.log2(max(n_sel, 1)))))
-            n_pad = 1 << int(np.ceil(np.log2(max(total, 2))))
+            # pow2 triangle-table bucket (min 8192) — N itself is FIXED at
+            # chunk_candidates and oversized chunks run as several base-offset
+            # windows of the same executable (signature count is the tax)
+            ns_pad = max(8192, 1 << int(np.ceil(np.log2(max(n_sel, 1)))))
+            n_pad = 1 << int(np.ceil(np.log2(max(chunk_candidates, 2))))
 
             cnts = np.zeros(ns_pad, np.int32)
             cnts[:n_sel] = counts[sel]
@@ -464,33 +473,51 @@ def voxelize_mesh_device(mesh: SimpleMesh, dims: tuple[int, int, int],
             tabf[:n_sel, 19:22] = tcolors[sel, 1, :3]
             tabf[:n_sel, 22:25] = tcolors[sel, 2, :3]
 
-            out, cnt = chunk_fn(jnp.asarray(tabf), jnp.asarray(tabi),
-                                jnp.asarray(cnts), np.int32(total),
-                                N=n_pad, dax=dax, dims=tuple(dims),
-                                slack_f=slack)
-            cnt = int(cnt)
-            if cnt:
-                # slice at a pow2 bucket: a raw out[:cnt] would compile a new
-                # slice program for every distinct count
-                k_pad = min(1 << int(np.ceil(np.log2(cnt))), out.shape[0])
+            tabf_d = jnp.asarray(tabf)
+            tabi_d = jnp.asarray(tabi)
+            cnts_d = jnp.asarray(cnts)
+            for wbase in range(0, total, n_pad):
+                out, cnt = chunk_fn(tabf_d, tabi_d, cnts_d, np.int32(wbase),
+                                    np.int32(total), np.int32(dax),
+                                    np.int32(dims[2]), np.float32(slack),
+                                    N=n_pad)
+                cnt = int(cnt)
+                if not cnt:
+                    continue
+                # slice at one of THREE fixed buckets: every distinct slice
+                # shape is another executable, and even a tiny program costs a
+                # ~30 s remote compile through this environment's tunnel
+                k_pad = next(k for k in (n_pad // 8, n_pad // 2, n_pad)
+                             if k >= cnt)
                 if return_device:
                     out_parts.append((out[:k_pad], cnt))
                 else:
                     out_parts.append(np.asarray(out[:k_pad])[:cnt])
 
     if return_device:
-        # hand the soup to the device LOD builder without crossing the tunnel
-        import jax.numpy as jnp
+        # hand the soup to the device LOD builder without crossing the tunnel.
+        # Accumulate with dynamic_update_slice at traced offsets (a
+        # jnp.concatenate of per-world-varying shape lists would compile a new
+        # program per world): parts land contiguously, each overwriting the
+        # previous part's padded tail.
+        import jax
 
         if not out_parts:
             z = jnp.zeros(1, jnp.int32)
             return z, z, z, jnp.zeros(1, bool)
-        vals = jnp.concatenate([p for p, _ in out_parts])
-        valid = np.concatenate(
-            [np.arange(p.shape[0]) < c for p, c in out_parts])
-        B = -(-vals.shape[0] // (1 << 20)) * (1 << 20)  # 1M-multiple bucket
-        vals = jnp.pad(vals, ((0, B - vals.shape[0]), (0, 0)))
-        valid = jnp.asarray(np.pad(valid, (0, B - valid.shape[0])))
+        total_cnt = sum(c for _, c in out_parts)
+        # every part fits at its offset without clamping: off_i <= total_cnt
+        # and part length <= the largest slice bucket used (B also sets the
+        # LOD-chain builder's N, so keep it tight)
+        B = -(-(total_cnt + max(p.shape[0] for p, _ in out_parts))
+              // (1 << 20)) * (1 << 20)
+        vals = jnp.zeros((B, 3), jnp.int32)
+        off = 0
+        for part, cnt in out_parts:
+            vals = jax.lax.dynamic_update_slice(vals, part,
+                                                (jnp.int32(off), jnp.int32(0)))
+            off += cnt
+        valid = jnp.arange(B, dtype=jnp.int32) < total_cnt
         return vals[:, 0], vals[:, 1], vals[:, 2], valid
 
     if not out_parts:

@@ -57,10 +57,11 @@ def _sharded_batch_fn(mesh, statics: tuple, wa_specs, fp_specs, cam_spec):
     jax.jit,
     static_argnames=("backend", "interpret", "iteration_direction", "chunk",
                      "max_chunks", "max_runs", "dims", "pixel_len", "width",
-                     "height", "R1"))
+                     "height", "R1", "occupancy"))
 def _batch_frame_fn(wa, fp_b, tri_a, tri_b, tri_c, ray_count, ray_base, active,
                     backend, interpret, iteration_direction, chunk, max_chunks,
-                    max_runs, dims, pixel_len, width, height, R1):
+                    max_runs, dims, pixel_len, width, height, R1,
+                    occupancy=False):
     B = fp_b.cam_pos.shape[0]
 
     static_b, dda_b, alive_b = jax.vmap(
@@ -81,7 +82,7 @@ def _batch_frame_fn(wa, fp_b, tri_a, tri_b, tri_c, ray_count, ray_base, active,
     if backend == "pallas":
         raybuf_idx = raymarch.phase1_pallas(
             wa, static, dda, alive0, lodd, farc, float(dims[1]), cam_y,
-            **common, interpret=interpret)
+            **common, interpret=interpret, occupancy=occupancy)
     else:
         raybuf_idx = raymarch.phase1(
             wa, static, dda, alive0, lodd, farc, jnp.float32(dims[1]), cam_y,
@@ -162,7 +163,8 @@ def render_camera_batch(renderer, cams: list[cm.Camera], rmesh=None):
             iteration_direction=direction, chunk=cfg.chunk_steps,
             max_chunks=cfg.max_march_chunks,
             max_runs=renderer.device_world.max_runs, dims=dims,
-            pixel_len=max(W, H), width=W, height=H, R1=R1)
+            pixel_len=max(W, H), width=W, height=H, R1=R1,
+            occupancy=renderer.occupancy_on)
         args = (renderer._wa, fp_b, tb["tri_a"], tb["tri_b"], tb["tri_c"],
                 tb["ray_count"], tb["ray_base"], tb["active"])
         if rmesh is None:

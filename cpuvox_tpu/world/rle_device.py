@@ -37,12 +37,19 @@ def _level_fn():
 
     BIG64 = jnp.int64(1) << jnp.int64(62)
 
-    @functools.partial(jax.jit, static_argnames=("N", "dims", "lod"))
-    def level(xz, y, rgbp, valid, N, dims, lod):
+    @functools.partial(jax.jit, static_argnames=("N",))
+    def level(x, z, y0, rgbp, valid, lod, y_dim, z_dim, N):
+        # `lod` AND the world dims are TRACED so ONE executable serves every
+        # chain level of every world — each distinct jit signature costs a
+        # multi-second cached-executable load through this environment's
+        # tunnel.  Coordinates arrive at LOD0 granularity and collapse here:
+        # xz = (x>>L)*(Z>>L) + (z>>L), y>>L (identity at L=0) — exactly
+        # rle.downsample's transform.
         i32 = jnp.int32
-        X, Y, Z = dims
-        height = Y >> lod
-        top_y = i32(height - 1)
+        xz = (x >> lod) * (z_dim >> lod) + (z >> lod)
+        y = y0 >> lod
+        height = y_dim >> lod
+        top_y = height - 1
         iota = lax.iota(i32, N)
         first = iota == 0
 
@@ -129,13 +136,16 @@ def _level_fn():
         _, runs3 = lax.sort((key3, val3), num_keys=1)
         total_runs = (emit.sum() + has_trail_p.sum()).astype(i32)
 
-        vs = i32(1 << lod)
+        vs = jnp.int32(1) << lod
         cmin_p = jnp.where(cval, cbot_p * vs, 0)
         cmax_p = jnp.where(cval, (ctop_p + 1) * vs, 0)
+        # ONE per-column table so the host fetches it with a single sliced
+        # transfer (each distinct slice program is another executable load)
+        tab_col = jnp.stack(
+            [occ_p, runs_per_col_p, col_off_p, first_vox_p, cmin_p, cmax_p],
+            axis=1)
         return dict(colors=colors, xz_d=xz_d, y_d=y_d,
-                    runs3=runs3, occ_p=occ_p,
-                    runs_per_col_p=runs_per_col_p, col_off_p=col_off_p,
-                    first_vox_p=first_vox_p, cmin_p=cmin_p, cmax_p=cmax_p,
+                    runs3=runs3, tab_col=tab_col,
                     n_dedupe=n_dedupe, n_runs_total=total_runs, n_occ=n_occ)
 
     return level
@@ -158,7 +168,7 @@ def _to_world_lod(out, dims, lod) -> WorldLOD:
     n_occ = int(out["n_occ"])
     colors = _fetch(out["colors"], n_ded).astype(np.uint32)
     runs = _fetch(out["runs3"], n_runs).astype(np.int32)
-    occ = _fetch(out["occ_p"], n_occ).astype(np.int64)
+    tab = _fetch(out["tab_col"], n_occ)
     z0 = np.zeros(n_cols, np.int32)
     col_runs = z0.copy()
     col_offset = z0.copy()
@@ -166,11 +176,12 @@ def _to_world_lod(out, dims, lod) -> WorldLOD:
     col_min = z0.copy()
     col_max = z0.copy()
     if n_occ:
-        col_runs[occ] = _fetch(out["runs_per_col_p"], n_occ)
-        col_offset[occ] = _fetch(out["col_off_p"], n_occ)
-        col_coloroff[occ] = _fetch(out["first_vox_p"], n_occ)
-        col_min[occ] = _fetch(out["cmin_p"], n_occ)
-        col_max[occ] = _fetch(out["cmax_p"], n_occ)
+        occ = tab[:, 0].astype(np.int64)
+        col_runs[occ] = tab[:, 1]
+        col_offset[occ] = tab[:, 2]
+        col_coloroff[occ] = tab[:, 3]
+        col_min[occ] = tab[:, 4]
+        col_max[occ] = tab[:, 5]
     return WorldLOD(tuple(dims), lod, col_offset, col_runs, col_coloroff,
                     col_min, col_max, runs, colors)
 
@@ -195,21 +206,24 @@ def build_lod_chain_device(xz, y, rgbp, valid, dims,
     N = xz.shape[0]
     dims = tuple(int(d) for d in dims)
 
-    out0 = level(xz, y, rgbp, valid, N=N, dims=dims, lod=0)
+    zbits = int(np.log2(dims[2]))
+    x_raw = xz >> zbits  # Z is a power of two: exact shifts, no int division
+    z_raw = xz & jnp.int32(dims[2] - 1)
+    ydim = jnp.int32(dims[1])
+    zdim = jnp.int32(dims[2])
+    out0 = level(x_raw, z_raw, y, rgbp, valid, jnp.int32(0), ydim, zdim, N=N)
     lods = [_to_world_lod(out0, dims, 0)]
 
     # LOD-L soup = LOD0's deduped voxels, coordinates collapsed by >> L
     # (rle._expand_soup reproduces exactly these, in this order)
     xz_d, y_d, colors0 = out0["xz_d"], out0["y_d"], out0["colors"]
     dval = jax.lax.iota(jnp.int32, N) < out0["n_dedupe"]
-    zbits = int(np.log2(dims[2]))
-    x0 = xz_d >> zbits  # Z is a power of two: exact shifts, no int division
+    x0 = xz_d >> zbits
     z0 = xz_d & jnp.int32(dims[2] - 1)
     c = colors0.astype(jnp.uint32)
     rgb_d = (((c >> 16) & 0xFF) | (((c >> 8) & 0xFF) << 8)
              | ((c & 0xFF) << 16)).astype(jnp.int32)
     for L in range(1, lod_levels):
-        xz_l = (x0 >> L) * jnp.int32(dims[2] >> L) + (z0 >> L)
-        outl = level(xz_l, y_d >> L, rgb_d, dval, N=N, dims=dims, lod=L)
+        outl = level(x0, z0, y_d, rgb_d, dval, jnp.int32(L), ydim, zdim, N=N)
         lods.append(_to_world_lod(outl, dims, L))
     return lods
