@@ -836,7 +836,10 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
     MAXR = max_runs
     MCC = max_col_colors
     occupancy = occupancy and wa.occ_tiles is not None
-    GK = 8  # cells rasterized per gated group (the packed kernel's chunk size)
+    # cells rasterized per gated group (the packed kernel's chunk size): bigger
+    # groups amortize per-launch fixed costs; the group count is bounded by the
+    # busiest ray's gated-cell total either way
+    GK = 16 if C % 16 == 0 else 8
     if occupancy:
         assert C % GK == 0, f"chunk {C} must be a multiple of {GK}"
     # tile-slot budget per chunk: a ray crosses at most ~C/16 x-tile + ~C/8
