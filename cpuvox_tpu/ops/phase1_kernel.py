@@ -457,13 +457,15 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
                             nfpmax, fbmin, fbmax, alive.astype(jnp.int32)), params
 
                 def merged_walk(slots, wrote):
-                    """ONE tile walk writing every span of the sweep, all BG groups
-                    at once.  First-covering-wins in reference draw order replaces
-                    the sequential written-mask exactly (writes never overwrite)."""
+                    """Tile walks writing every span of the sweep.  One walk per
+                    BG ray-row with that row's OWN bounds: a block's 8 rows hold
+                    unrelated columns, so a shared union span made every row-
+                    iteration pay 8x vector work over mostly-uncovered rows.
+                    First-covering-wins in reference draw order replaces the
+                    sequential written-mask exactly (writes never overwrite)."""
                     if ABLATE == "nowalk":
                         return wrote
-                    # vector-combine all slot bounds first: exactly TWO
-                    # vector->scalar reductions per walk
+                    # per-lane bounds, combined across slots
                     lo_v = jnp.full((BG, 128), BIG, jnp.int32)
                     hi_v = jnp.full((BG, 128), -1, jnp.int32)
                     for prm in slots:
@@ -475,75 +477,84 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
                             prm["overlap2"], prm["rb2_min"], BIG))
                         hi_v = jnp.maximum(hi_v, jnp.where(
                             prm["overlap2"], prm["rb2_max"], -1))
-                    lo = jnp.maximum(jnp.min(lo_v), 0) & -8
-                    hi = jnp.minimum(jnp.max(hi_v), P - 1)
 
-                    def wcond(st):
-                        w, _ = st
-                        return w <= hi
+                    wrote_rows = []
+                    for g_row in range(BG):
+                        lo_g = jnp.maximum(jnp.min(lo_v[g_row]), 0) & -8
+                        hi_g = jnp.minimum(jnp.max(hi_v[g_row]), P - 1)
 
-                    def wbody(st):
-                        w, wrote = st
-                        rows_i = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-                                  + w)[None]
-                        rows_f = rows_i.astype(jnp.float32)
-                        # cheap per-row-tile coverage test FIRST: a block's lanes
-                        # hold unrelated columns, so the union span [lo, hi] is
-                        # mostly rows no lane covers — skip their tile IO and
-                        # span math entirely (this was ~1/3 of the frame on
-                        # deep-run mostly-air worlds)
-                        covs = []
-                        anyc = jnp.zeros((), jnp.bool_)
-                        for prm in slots:
-                            e = lambda x: prm[x][:, None, :]
-                            in_s = ((rows_i >= e("rb_min")) & (rows_i <= e("rb_max"))
-                                    & e("overlap"))
-                            in_c = ((rows_i >= e("rb2_min"))
-                                    & (rows_i <= e("rb2_max")) & e("overlap2"))
-                            covs.append((in_s, in_c))
-                            anyc = anyc | jnp.any(in_s) | jnp.any(in_c)
+                        def wcond(st, hi_g=hi_g):
+                            w, _ = st
+                            return w <= hi_g
 
-                        def busy_row():
-                            tile = raybuf_ref[:, pl.ds(w, 8), :]  # (BG, 8, 128)
-                            chosen = jnp.zeros_like(tile)
-                            claimed = jnp.zeros(tile.shape, jnp.bool_)
-                            for prm, (in_s, in_c) in zip(slots, covs):
-                                e = lambda x: prm[x][:, None, :]
-                                l = (rows_f - e("rbf_lo")) * e("inv_span")
-                                wu0 = e("uvlo0") + (e("uvhi0") - e("uvlo0")) * l
-                                wu1 = e("uvlo1") + (e("uvhi1") - e("uvlo1")) * l
-                                u = wu1 / wu0
-                                iu = jnp.where(jnp.isnan(u), 0,
-                                               jnp.floor(u).astype(jnp.int32))
-                                cl = e("base_col") + jnp.clip(iu, 0, e("len_m1"))
-                                if MCC:  # per-pixel select from the inline colors
-                                    val = jnp.zeros_like(cl)
-                                    for kk in range(MCC):
-                                        val = jnp.where(
-                                            cl == kk,
-                                            stk_r[0, 8 + MAXR + kk][:, None, :],
-                                            val)
-                                else:
-                                    val = cl
-                                chosen = jnp.where(in_s & ~claimed, val, chosen)
-                                claimed = claimed | in_s
-                                chosen = jnp.where(
-                                    in_c & ~claimed,
-                                    jnp.broadcast_to(e("cap_col"), tile.shape),
-                                    chosen)
-                                claimed = claimed | in_c
-                            do = claimed & (tile < 0)
-                            raybuf_ref[:, pl.ds(w, 8), :] = jnp.where(
-                                do, chosen, tile)
-                            return jnp.any(do, axis=1).astype(jnp.int32)
+                        def wbody(st, g_row=g_row):
+                            w, wr = st
+                            rows_i = (jax.lax.broadcasted_iota(
+                                jnp.int32, (8, 128), 0) + w)
+                            rows_f = rows_i.astype(jnp.float32)
+                            # cheap coverage test first: skip tile IO and span
+                            # math for row-tiles no lane of this row covers
+                            covs = []
+                            anyc = jnp.zeros((), jnp.bool_)
+                            for prm in slots:
+                                e = lambda x: prm[x][g_row][None, :]
+                                in_s = ((rows_i >= e("rb_min"))
+                                        & (rows_i <= e("rb_max"))
+                                        & e("overlap"))
+                                in_c = ((rows_i >= e("rb2_min"))
+                                        & (rows_i <= e("rb2_max"))
+                                        & e("overlap2"))
+                                covs.append((in_s, in_c))
+                                anyc = anyc | jnp.any(in_s) | jnp.any(in_c)
 
-                        wrote_add = jax.lax.cond(
-                            anyc, busy_row,
-                            lambda: jnp.zeros((BG, 128), jnp.int32))
-                        return (w + 8, wrote | wrote_add)
+                            def busy_row():
+                                tile = raybuf_ref[g_row, pl.ds(w, 8), :]
+                                chosen = jnp.zeros_like(tile)
+                                claimed = jnp.zeros(tile.shape, jnp.bool_)
+                                for prm, (in_s, in_c) in zip(slots, covs):
+                                    e = lambda x: prm[x][g_row][None, :]
+                                    l = (rows_f - e("rbf_lo")) * e("inv_span")
+                                    wu0 = (e("uvlo0")
+                                           + (e("uvhi0") - e("uvlo0")) * l)
+                                    wu1 = (e("uvlo1")
+                                           + (e("uvhi1") - e("uvlo1")) * l)
+                                    u = wu1 / wu0
+                                    iu = jnp.where(jnp.isnan(u), 0,
+                                                   jnp.floor(u)
+                                                   .astype(jnp.int32))
+                                    cl = e("base_col") + jnp.clip(
+                                        iu, 0, e("len_m1"))
+                                    if MCC:  # select from the inline colors
+                                        val = jnp.zeros_like(cl)
+                                        for kk in range(MCC):
+                                            val = jnp.where(
+                                                cl == kk,
+                                                stk_r[0, 8 + MAXR + kk][g_row]
+                                                [None, :], val)
+                                    else:
+                                        val = cl
+                                    chosen = jnp.where(in_s & ~claimed, val,
+                                                       chosen)
+                                    claimed = claimed | in_s
+                                    chosen = jnp.where(
+                                        in_c & ~claimed,
+                                        jnp.broadcast_to(e("cap_col"),
+                                                         tile.shape), chosen)
+                                    claimed = claimed | in_c
+                                do = claimed & (tile < 0)
+                                raybuf_ref[g_row, pl.ds(w, 8), :] = jnp.where(
+                                    do, chosen, tile)
+                                return jnp.any(do, axis=0).astype(jnp.int32)
 
-                    _, wrote = jax.lax.while_loop(wcond, wbody, (lo, wrote))
-                    return wrote
+                            wrote_add = jax.lax.cond(
+                                anyc, busy_row,
+                                lambda: jnp.zeros((128,), jnp.int32))
+                            return (w + 8, wr | wrote_add)
+
+                        _, wr_g = jax.lax.while_loop(
+                            wcond, wbody, (lo_g, jnp.zeros((128,), jnp.int32)))
+                        wrote_rows.append(wr_g)
+                    return wrote | jnp.stack(wrote_rows)
 
                 run_done0 = jnp.zeros((BG, 128), jnp.int32)
                 wrote0 = jnp.zeros((BG, 128), jnp.int32)
