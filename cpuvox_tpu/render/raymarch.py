@@ -355,6 +355,12 @@ def _roll_chunk(dda: DDAState, alive, dirs, lod_distances, far_clip, dims, chunk
 
     def body(carry, _):
         dda, alive = carry
+        # PRE-switch snapshot rides the visit list so the gated march can
+        # REWIND a ray to an unprocessed cell: re-rolling from the body-entry
+        # state replays the LOD switch (if any) with identical inputs, so the
+        # whole float trajectory is bit-identical.  (tdelta/stp are
+        # reconstructed from lod: they only ever scale by exact powers of two.)
+        pre = (dda.pos, dda.tmax, dda.ids, dda.lod)
         ldist = _small_lut(lod_distances,
                            jnp.clip(dda.lod, 0, lod_distances.shape[0] - 1),
                            lod_distances.shape[0])
@@ -367,7 +373,7 @@ def _roll_chunk(dda: DDAState, alive, dirs, lod_distances, far_clip, dims, chunk
                      & (dda.pos[:, 1] >= 0) & (dda.pos[:, 1] < Z))
         valid = alive & in_bounds
         alive = valid
-        visit = (dda.pos, dda.ids, dda.lod, valid)
+        visit = (dda.pos, dda.ids, dda.lod, valid) + pre
         stepped, hit_far = _dda_step(dda, far_clip)
         dda = jax.tree_util.tree_map(
             lambda a, b: jnp.where(
@@ -746,7 +752,7 @@ def march(
         march_alive = alive & rs.alive
         dda, march_alive, visits = _roll_chunk(
             dda, march_alive, static.dirs, lod_distances, far_clip, dims, chunk)
-        v_pos, v_ids, v_lod, v_valid = visits  # (C, R, ...)
+        v_pos, v_ids, v_lod, v_valid = visits[:4]  # (C, R, ...)
 
         lodc = jnp.clip(v_lod, 0, 7)
         ci = (_small_lut(wa.col_base, lodc, 8)
@@ -986,7 +992,8 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
             march_alive = alive & (state["alive"].reshape(Rk) != 0)
             dda, march_alive, visits = _roll_chunk(
                 dda, march_alive, dirs, lod_distances, far_clip, dims, chunk)
-            v_pos, v_ids, v_lod, v_valid = visits  # (C, Rk, ...)
+            (v_pos, v_ids, v_lod, v_valid,
+             p_pos, p_tmax, p_ids, p_lod) = visits  # (C, Rk, ...)
 
             lodc = jnp.clip(v_lod, 0, 7)
             xc = v_pos[:, :, 0] >> v_lod
@@ -1108,10 +1115,14 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                  jax.lax.bitcast_convert_type(v_ids[:, :, 1], jnp.int32),
                  v_lod), dimension=0, num_keys=1, is_stable=False)
 
+            # ONE gated group per chunk: rays with more than GK gated cells
+            # REWIND to their first unprocessed cell below — the group drain
+            # was max-per-ray bound (one busy ray forced full-width fetches
+            # for everyone), the cap makes fetched slots track the cap instead
             def gcond(gc):
                 g, raybuf, state = gc
                 head = jax.lax.dynamic_slice_in_dim(kb_s, g * GK, 1, axis=0)
-                return (g < C // GK) & jnp.any(head < BIG)
+                return (g < 1) & jnp.any(head < BIG)
 
             def gbody(gc):
                 g, raybuf, state = gc
@@ -1130,6 +1141,40 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
 
             _, raybuf, state = jax.lax.while_loop(
                 gcond, gbody, (jnp.int32(0), raybuf, state))
+
+            # rewind busy rays to their first unprocessed gated cell: the next
+            # chunk re-rolls from exactly that cell (same DDA state -> same
+            # float trajectory), so every gated cell is rasterized exactly
+            # once, in per-ray order, regardless of the cap.
+            count = jnp.sum(gate.astype(jnp.int32), axis=0)
+            pos2 = jnp.cumsum(gate.astype(jnp.int32), axis=0) - 1
+            rwm = gate & (pos2 == GK)  # one step per busy ray: slot GK
+            needs = (count > GK) & (state["alive"].reshape(Rk) != 0)
+
+            def rsum(f):  # exact: exactly one nonzero summand per busy ray
+                return jnp.sum(jnp.where(rwm, f, 0), axis=0)
+
+            lod_rw = rsum(p_lod)
+            dda_rw = DDAState(
+                pos=jnp.stack([rsum(p_pos[:, :, 0]), rsum(p_pos[:, :, 1])], 1),
+                tmax=jnp.stack([rsum(p_tmax[:, :, 0]),
+                                rsum(p_tmax[:, :, 1])], 1),
+                # tdelta/stp only ever scale by exact powers of two per LOD
+                tdelta=jnp.ldexp(dda.tdelta,
+                                 (lod_rw - dda.lod)[:, None]).astype(
+                                     jnp.float32),
+                stp=jnp.sign(dda.stp) * (1 << lod_rw)[:, None],
+                ids=jnp.stack([rsum(p_ids[:, :, 0]), rsum(p_ids[:, :, 1])], 1),
+                lod=lod_rw)
+            nb = needs[:, None]
+            dda = DDAState(
+                pos=jnp.where(nb, dda_rw.pos, dda.pos),
+                tmax=jnp.where(nb, dda_rw.tmax, dda.tmax),
+                tdelta=jnp.where(nb, dda_rw.tdelta, dda.tdelta),
+                stp=jnp.where(nb, dda_rw.stp, dda.stp),
+                ids=jnp.where(nb, dda_rw.ids, dda.ids),
+                lod=jnp.where(needs, dda_rw.lod, dda.lod))
+            march_alive = march_alive | needs
             return i + 1, dda, march_alive, raybuf, state
 
         init = (i_total, dda_c, march_alive, raybuf, state)

@@ -57,7 +57,7 @@ def run(wa, fp):
         march_alive = alive & (state["alive"].reshape(R) != 0)
         counts = counts.at[i].set(march_alive.sum())
         dda, march_alive, visits = raymarch._roll_chunk(dda, march_alive, static.dirs, fp.lod_distances, fp.far_clip, dims, C)
-        v_pos, v_ids, v_lod, v_valid = visits
+        v_pos, v_ids, v_lod, v_valid = visits[:4]
         lodc = jnp.clip(v_lod, 0, 7)
         ci = wa.col_base[lodc] + (v_pos[:,:,0] >> v_lod) * wa.grid_z[lodc] + (v_pos[:,:,1] >> v_lod)
         ci = jnp.where(v_valid, ci, 0)

@@ -71,7 +71,7 @@ def one_chunk(wa, static, dda, march_alive, rs):
     march_alive = march_alive & rs.alive
     dda, march_alive, visits = rm._roll_chunk(
         dda, march_alive, static.dirs, lodd, far, dims, C)
-    v_pos, v_ids, v_lod, v_valid = visits
+    v_pos, v_ids, v_lod, v_valid = visits[:4]
 
     lodc = jnp.clip(v_lod, 0, 7)
     xc = v_pos[:, :, 0] >> v_lod

@@ -95,7 +95,7 @@ def roll_march(wa, static, dda, alive0, lodd, far_clip, do_gather: bool):
         i, dda, alive, acc = c
         dda, alive, visits = raymarch._roll_chunk(
             dda, alive, static.dirs, lodd, far_clip, dims, chunk)
-        v_pos, v_ids, v_lod, v_valid = visits
+        v_pos, v_ids, v_lod, v_valid = visits[:4]
         if do_gather:
             lodc = jnp.clip(v_lod, 0, 7)
             ci = (wa.col_base[lodc]

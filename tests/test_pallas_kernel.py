@@ -126,6 +126,32 @@ def test_pallas_deep_split_layout(occupancy):
     assert np.array_equal(xlr, plr)
 
 
+def test_pallas_occupancy_rewind_matches_xla():
+    """chunk=32 with the gate ON on DENSE content: every ray has more gated
+    cells per chunk than the one-group cap, so the rewind path (restore the
+    pre-switch DDA state at the first unprocessed cell) runs constantly and
+    must stay bit-exact — including across LOD switches (tight lod distances)."""
+    w0 = scenes.flat_floor_world(dims=(64, 16, 64))
+    lods = rle.build_lod_chain(w0, 6)
+    cam = cm.Camera(position=(32, 4, 32), pitch_deg=12.0, yaw_deg=30.0,
+                    screen=SCREEN)
+    outs = {}
+    for backend in ("xla", "pallas"):
+        cfg = RenderConfig(width=SCREEN[0], height=SCREEN[1], chunk_steps=32,
+                           max_march_chunks=64, backend=backend,
+                           pallas_interpret=True, occupancy_gate="on",
+                           lod_error=4.0)
+        r = Renderer.create(lods, cfg)
+        r.lod_distances = np.array([6, 12, 20, 32, 48, 96], np.float32)
+        r.far_clip = 256.0
+        outs[backend] = r.render(cam, return_raybuffers=True)
+    xs, (xtd, xlr, *_) = outs["xla"]
+    ps, (ptd, plr, *_) = outs["pallas"]
+    assert np.array_equal(xtd, ptd)
+    assert np.array_equal(xlr, plr)
+    assert np.array_equal(xs, ps)
+
+
 def test_pallas_occupancy_argb_matches_xla():
     """Occupancy gate composed with ARGB record mode."""
     w = scenes.random_world(n=300, seed=5)
