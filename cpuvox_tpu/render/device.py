@@ -25,6 +25,11 @@ from cpuvox_tpu.world.rle import WorldLOD
 REC = 8  # ints per split-layout column record (32 B aligned gather row)
 REC_META = 4  # leading meta ints in an inline record: n_runs, color_off, cmin, cmax
 INLINE_MAX_RUNS = 60  # inline runs into the record while 4 + max_runs <= 64 ints
+LITE_RUNS = 4  # lite record: meta + first 4 runs in ONE 32-byte gather row.
+# Deep-RLE worlds (mill max_runs=45 -> 224-byte records = 7 gather-row units)
+# pay the full row width on EVERY gated fetch although most visited columns
+# have <= 4 runs; the gated march fetches lite rows (1 unit) and takes a
+# second, per-lane-narrow fetch only for "deep" cells (n_runs > LITE_RUNS).
 # (one gather row per visited cell beats the split record+runs double gather up
 # to ~256-byte rows; deeper worlds fall back to the split layout)
 # occupancy tiles: one 32-byte row per OCC_TILE_X x OCC_TILE_Z block of columns
@@ -74,6 +79,11 @@ class DeviceWorld:
     # upward iteration direction (DrawSegmentRayJob.cs:432-437).
     rec_fwd: np.ndarray | None = None  # int32 [total_cols, 4 + padded max_runs]
     rec_rev: np.ndarray | None = None
+    # lite records (LITE_RUNS): [n_runs(true), color_off, cmin, cmax, run0..3]
+    # in one 32-byte row; built when max_runs > LITE_RUNS so the gated march
+    # fetches 1 gather-row unit per cell instead of ceil((4+max_runs)/8)
+    lite_fwd: np.ndarray | None = None  # int32 [total_cols, 8]
+    lite_rev: np.ndarray | None = None
     # ARGB mode (INLINE_MAX_COLORS): the column's voxel colors are ALSO inline
     # (alpha-MSB cleared), appended after the runs; max_col_colors > 0 marks it
     max_col_colors: int = 0
@@ -234,7 +244,31 @@ def build_device_world(lods: list[WorldLOD],
         dw.rec_rev = _inline_records(rec, runs_bwd, max_runs, colors, mcc)
         dw.max_col_colors = mcc
         dw.col_rec = dw.runs = dw.runs_rev = None
+        # lite records only pay off when MOST gated (nonempty) columns fit in
+        # LITE_RUNS — otherwise nearly every cell takes the narrow deep fetch
+        # AND the processed-prefix cap multiplies the chunk count (mill-class
+        # content has a median of ~9 runs per nonempty column: lite off)
+        ne = lods[0].col_runs[lods[0].col_runs > 0]
+        if (max_runs > LITE_RUNS and ne.size
+                and float((ne <= LITE_RUNS).mean()) >= 0.5):
+            # n_runs in slot 0 stays the TRUE count (deep detection + kernel
+            # masking); only the first LITE_RUNS runs ride along
+            dw.lite_fwd = _inline_records(rec, runs_fwd, LITE_RUNS, colors, 0)
+            dw.lite_rev = _inline_records(rec, runs_bwd, LITE_RUNS, colors, 0)
     return dw
+
+
+def packed_run_words(max_runs: int, max_cc: int = 0) -> int:
+    """Run-region width in int32 words for the inline record, and whether the
+    16-bit two-runs-per-word packing applies.  Packing halves the run region
+    (run -> air bit | 15-bit length; the color index is RECONSTRUCTED after the
+    gather by a cumulative sum of solid lengths — raymarch._fetch_columns), and
+    is used exactly when it shrinks the padded row (deep-RLE worlds: mill's
+    max_runs=45 records drop 224 B -> 128 B = 7 -> 4 gather-row units)."""
+    rw_full = ((REC_META + max_runs + max_cc + 7) // 8) * 8
+    w_packed = (max_runs + 1) // 2
+    rw_packed = ((REC_META + w_packed + max_cc + 7) // 8) * 8
+    return w_packed if rw_packed < rw_full else max_runs
 
 
 def _inline_records(rec: np.ndarray, runs: np.ndarray, max_runs: int,
@@ -242,22 +276,39 @@ def _inline_records(rec: np.ndarray, runs: np.ndarray, max_runs: int,
     """Pack [n_runs, color_off, cmin, cmax, run0..run_{max_runs-1}
     (, argb0..argb_{max_cc-1})] per column into one row (padded to a 32-byte
     multiple) so a column fetch is a single gather.  Inline colors carry the
-    alpha MSB cleared (see INLINE_MAX_COLORS)."""
+    alpha MSB cleared (see INLINE_MAX_COLORS).  When packed_run_words() says
+    the 16-bit packing shrinks the row, two runs ride per int32 word."""
     n_cols = rec.shape[0]
-    rw = ((REC_META + max_runs + max_cc + 7) // 8) * 8
+    k = np.arange(max_runs, dtype=np.int64)[None, :]
+    idx = rec[:, 1].astype(np.int64)[:, None] + k  # run_offset + k (tail-padded)
+    vals = runs[np.minimum(idx, runs.shape[0] - 1)]
+    vals = np.where(k < rec[:, 0:1], vals, 0)
+
+    rwords = packed_run_words(max_runs, max_cc)
+    if rwords != max_runs:  # 16-bit packing
+        length = vals & np.int32(0xFFFF)
+        assert int(length.max(initial=0)) < 0x8000, "run length needs 15 bits"
+        half = (length | np.where(vals < 0, np.int32(0x8000), np.int32(0))
+                ).astype(np.uint32)
+        if max_runs % 2:
+            half = np.concatenate(
+                [half, np.zeros((n_cols, 1), np.uint32)], axis=1)
+        words = (half[:, 0::2] | (half[:, 1::2] << np.uint32(16))
+                 ).astype(np.uint32).view(np.int32)
+    else:
+        words = vals
+
+    rw = ((REC_META + rwords + max_cc + 7) // 8) * 8
     out = np.zeros((n_cols, rw), np.int32)
     out[:, 0] = rec[:, 0]
     out[:, 1] = rec[:, 2]  # color_off
     out[:, 2] = rec[:, 3]  # world min
     out[:, 3] = rec[:, 4]  # world max
-    k = np.arange(max_runs, dtype=np.int64)[None, :]
-    idx = rec[:, 1].astype(np.int64)[:, None] + k  # run_offset + k (tail-padded)
-    vals = runs[np.minimum(idx, runs.shape[0] - 1)]
-    out[:, REC_META:REC_META + max_runs] = np.where(k < rec[:, 0:1], vals, 0)
+    out[:, REC_META:REC_META + rwords] = words
     if max_cc:
         kc = np.arange(max_cc, dtype=np.int64)[None, :]
         cidx = rec[:, 2].astype(np.int64)[:, None] + kc  # global color offset
         cvals = (colors[np.minimum(cidx, colors.shape[0] - 1)]
                  & np.uint32(0x7FFFFFFF)).astype(np.int32)
-        out[:, REC_META + max_runs:REC_META + max_runs + max_cc] = cvals
+        out[:, REC_META + rwords:REC_META + rwords + max_cc] = cvals
     return out

@@ -81,6 +81,10 @@ class WorldArrays(NamedTuple):
     # inline layout (device.py _inline_records): meta + runs in one gather row
     rec_fwd: jnp.ndarray | None = None
     rec_rev: jnp.ndarray | None = None
+    # lite records (device.py LITE_RUNS): meta + first 4 runs in ONE 32-byte
+    # row — the gated fetch's fast path on deep-RLE worlds
+    lite_fwd: jnp.ndarray | None = None
+    lite_rev: jnp.ndarray | None = None
     # occupancy tiles (device.py build_occ_tiles): emptiness bitmap + cmin/cmax
     # per 16x8 column tile per LOD — enables the gated two-stage fetch
     occ_tiles: jnp.ndarray | None = None
@@ -109,7 +113,7 @@ def _fetch_columns(wa: WorldArrays, ci, v_valid, iteration_direction, max_runs,
     record plus one contiguous MAXR run slice (pre-reversed array for the upward
     iteration direction, DrawSegmentRayJob.cs:432-437).
     """
-    from cpuvox_tpu.render.device import REC_META
+    from cpuvox_tpu.render.device import REC_META, packed_run_words
 
     if wa.rec_fwd is not None:
         rec_src = wa.rec_fwd if iteration_direction > 0 else wa.rec_rev
@@ -123,10 +127,38 @@ def _fetch_columns(wa: WorldArrays, ci, v_valid, iteration_direction, max_runs,
         color_off = rec[..., 1]
         cmin = rec[..., 2]
         cmax = rec[..., 3]
-        runs_k = rec[..., REC_META:REC_META + max_runs]
+        rwords = packed_run_words(max_runs, max_col_colors)
+        if rwords != max_runs:
+            # 16-bit-packed run region (device.py): unpack to the kernel's
+            # int32 run format after the (now ~half-width) gather.  The color
+            # index is an exclusive cumsum of solid lengths (fwd); for the
+            # REVERSED iteration table each run keeps its FWD color index =
+            # total_solid - cum_before_rev - length.  Bit-exact: integer sums
+            # of the same lengths the builder summed.
+            words = rec[..., REC_META:REC_META + rwords]
+            lo = words & 0xFFFF
+            hi = jax.lax.shift_right_logical(words, 16)
+            halves = jnp.stack([lo, hi], axis=-1).reshape(
+                words.shape[:-1] + (2 * rwords,))[..., :max_runs]
+            length = halves & 0x7FFF
+            air = (halves & 0x8000) != 0
+            solid_len = jnp.where(air, 0, length)
+            cum = jnp.cumsum(solid_len, axis=-1)
+            cum_excl = cum - solid_len
+            if iteration_direction > 0:
+                cidx = cum_excl
+            else:
+                cidx = cum[..., -1:] - cum_excl - length
+            runs_k = jnp.where(air, jnp.int32(-1 << 16) | length,
+                               (cidx << 16) | length)
+            k_iota = jax.lax.broadcasted_iota(
+                jnp.int32, runs_k.shape, runs_k.ndim - 1)
+            runs_k = jnp.where(k_iota < rec[..., 0:1], runs_k, 0)
+        else:
+            runs_k = rec[..., REC_META:REC_META + rwords]
         if max_col_colors:  # ARGB mode: the column's colors ride in the record
-            colors_k = rec[..., REC_META + max_runs:
-                           REC_META + max_runs + max_col_colors]
+            colors_k = rec[..., REC_META + rwords:
+                           REC_META + rwords + max_col_colors]
             return n_runs, None, color_off, cmin, cmax, runs_k, colors_k
         return n_runs, None, color_off, cmin, cmax, runs_k
 
@@ -1119,28 +1151,86 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
             # REWIND to their first unprocessed cell below — the group drain
             # was max-per-ray bound (one busy ray forced full-width fetches
             # for everyone), the cap makes fetched slots track the cap instead
+            from cpuvox_tpu.render.device import LITE_RUNS
+
+            # lite fast path (deep-RLE worlds): fetch 32-byte lite rows (meta +
+            # first 4 runs, ONE gather-row unit vs ceil((4+MAXR)/8)); "deep"
+            # cells (n_runs > 4) take a second per-lane-NARROW full fetch for
+            # each lane's FIRST deep cell, and the per-lane processed prefix
+            # stops before a second deep cell (the rewind below resumes there)
+            use_lite = wa.lite_fwd is not None and MCC == 0
+
             def gcond(gc):
-                g, raybuf, state = gc
+                g, raybuf, state, cap = gc
                 head = jax.lax.dynamic_slice_in_dim(kb_s, g * GK, 1, axis=0)
                 return (g < 1) & jnp.any(head < BIG)
 
             def gbody(gc):
-                g, raybuf, state = gc
+                g, raybuf, state, cap = gc
 
                 def sl(a):
                     return jax.lax.dynamic_slice_in_dim(a, g * GK, GK, axis=0)
 
                 vk = sl(kb_s) < BIG  # (GK, Rk)
-                n_runs, color_off, cmin, cmax, runs_k, colors_k = fetch(
-                    sl(ci_s), vk)
-                raybuf, state = rasterize_cells(
-                    GK, (sl(i0_s), sl(i1_s), sl(lod_s), vk.astype(jnp.int32),
-                         n_runs, color_off, cmin, cmax, runs_k, colors_k),
-                    raybuf, state)
-                return g + 1, raybuf, state
+                proc = vk
+                if ablate2 == "nofetch":  # dev bisection: WRONG output
+                    z = jnp.zeros((GK, Rk), jnp.int32)
+                    n_runs, color_off, cmin, cmax = z, z, z, z
+                    runs_k = jnp.zeros((GK, Rk, MAXR), jnp.int32)
+                    colors_k = (jnp.zeros((GK, Rk, MCC), jnp.int32)
+                                if MCC else None)
+                elif use_lite:
+                    ci_g = sl(ci_s)
+                    lite_src = (wa.lite_fwd if iteration_direction > 0
+                                else wa.lite_rev)
+                    nl_rows = lite_src.shape[0]
+                    spread = (jax.lax.broadcasted_iota(
+                        jnp.int32, ci_g.shape, 1) % jnp.int32(nl_rows))
+                    flat = jax.lax.optimization_barrier(
+                        jnp.where(vk, ci_g, spread).ravel())
+                    lrec = jax.lax.optimization_barrier(lite_src[flat])
+                    lrec = lrec.reshape(ci_g.shape + (lrec.shape[-1],))
+                    n_l = jnp.where(vk, lrec[..., 0], 0)
+                    deep = n_l > LITE_RUNS
+                    dexcl = jnp.cumsum(deep.astype(jnp.int32), axis=0) - deep
+                    # processed prefix: everything before the lane's SECOND
+                    # deep cell (the first deep cell gets the narrow full row)
+                    proc = vk & ((dexcl == 0) | ((dexcl == 1) & ~deep))
+                    first_deep = deep & (dexcl == 0)
+                    has_deep = jnp.any(first_deep, axis=0)  # (Rk,)
+                    ci_d = jnp.sum(jnp.where(first_deep, ci_g, 0), axis=0)
+                    fr_n, _, _, _, fr_runs, _ = fetch(
+                        ci_d[None, :], has_deep[None, :])
+                    n_runs = jnp.where(proc, n_l, 0)
+                    n_runs = jnp.where(first_deep, fr_n, n_runs)
+                    color_off = lrec[..., 1]
+                    cmin = lrec[..., 2]
+                    cmax = lrec[..., 3]
+                    runs_k = jnp.concatenate(
+                        [lrec[..., 4:4 + LITE_RUNS],
+                         jnp.zeros((GK, Rk, MAXR - LITE_RUNS), jnp.int32)],
+                        axis=-1)
+                    runs_k = jnp.where(first_deep[:, :, None], fr_runs, runs_k)
+                    colors_k = None
+                else:
+                    n_runs, color_off, cmin, cmax, runs_k, colors_k = fetch(
+                        sl(ci_s), vk)
+                if ablate2 == "noraster":  # dev bisection: WRONG output
+                    raybuf = raybuf.at[:, 0, :].add(
+                        jnp.sum(runs_k, axis=(0, 2)).reshape(G, 128)
+                        + jnp.sum(n_runs + color_off + cmin + cmax, axis=0)
+                        .reshape(G, 128))
+                else:
+                    raybuf, state = rasterize_cells(
+                        GK, (sl(i0_s), sl(i1_s), sl(lod_s),
+                             proc.astype(jnp.int32), n_runs, color_off, cmin,
+                             cmax, runs_k, colors_k), raybuf, state)
+                cap = jnp.sum(proc.astype(jnp.int32), axis=0)
+                return g + 1, raybuf, state, cap
 
-            _, raybuf, state = jax.lax.while_loop(
-                gcond, gbody, (jnp.int32(0), raybuf, state))
+            _, raybuf, state, cap = jax.lax.while_loop(
+                gcond, gbody,
+                (jnp.int32(0), raybuf, state, jnp.zeros(Rk, jnp.int32)))
 
             # rewind busy rays to their first unprocessed gated cell: the next
             # chunk re-rolls from exactly that cell (same DDA state -> same
@@ -1148,8 +1238,8 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
             # once, in per-ray order, regardless of the cap.
             count = jnp.sum(gate.astype(jnp.int32), axis=0)
             pos2 = jnp.cumsum(gate.astype(jnp.int32), axis=0) - 1
-            rwm = gate & (pos2 == GK)  # one step per busy ray: slot GK
-            needs = (count > GK) & (state["alive"].reshape(Rk) != 0)
+            rwm = gate & (pos2 == cap[None, :])  # first unprocessed gated cell
+            needs = (count > cap) & (state["alive"].reshape(Rk) != 0)
 
             def rsum(f):  # exact: exactly one nonzero summand per busy ray
                 return jnp.sum(jnp.where(rwm, f, 0), axis=0)

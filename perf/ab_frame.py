@@ -24,10 +24,12 @@ scene = sys.argv[1] if len(sys.argv) > 1 else "mill1024"
 wh = sys.argv[2] if len(sys.argv) > 2 else "1920x1080"
 nf = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 occ = sys.argv[4] if len(sys.argv) > 4 else "auto"
+ck = int(sys.argv[5]) if len(sys.argv) > 5 else 32
 w, h = (int(x) for x in wh.split("x"))
 
 lods = build_world(scene)
-cfg = RenderConfig(width=w, height=h, occupancy_gate=occ)
+cfg = RenderConfig(width=w, height=h, occupancy_gate=occ, chunk_steps=ck,
+                   max_march_chunks=(192 * 32) // ck)
 r = Renderer.create(lods, cfg)
 dims = r.device_world.dims
 
@@ -44,6 +46,6 @@ for cam in cams:
     ts.append(time.perf_counter() - t0)
 ts_ms = sorted(t * 1e3 for t in ts)
 p50 = ts_ms[len(ts_ms) // 2]
-print(f"{scene} {w}x{h} occ={occ} frames={nf}: "
+print(f"{scene} {w}x{h} occ={occ} chunk={ck} frames={nf}: "
       f"p50={p50:.0f} ms mean={sum(ts_ms)/len(ts_ms):.0f} ms "
       f"min={ts_ms[0]:.0f} max={ts_ms[-1]:.0f}")

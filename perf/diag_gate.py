@@ -117,6 +117,14 @@ def one_chunk(wa, static, dda, march_alive, rs):
     stats["fact0"] = fact0.sum()
     for L in range(7):
         stats[f"gated_lod{L}"] = (gated & (v_lod == L)).sum()
+    # run-count distribution of gated (fetched) cells — sizes a lite record
+    for B in (2, 4, 6, 8, 12, 16):
+        stats[f"gated_runs_le{B}"] = (gated & (nruns <= B)).sum()
+    # per-chunk max gated count over rays (the group-drain / rewind bound)
+    cnt = gated.astype(jnp.int32).sum(0)
+    stats["max_per_ray"] = cnt.max()
+    stats["rays_gt16"] = (cnt > 16).sum()
+    stats["rays_1_16"] = ((cnt > 0) & (cnt <= 16)).sum()
     # advance the real rasterizer state (XLA path) so the next chunk's window
     # state is exact
     n_runs, run_off, color_off, cmin, cmax, runs_k = rm._fetch_columns(

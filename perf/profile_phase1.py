@@ -14,6 +14,9 @@ import os
 import sys
 import time
 
+sys_path_root = __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__)))
+__import__("sys").path.insert(0, sys_path_root)
+
 import numpy as np
 
 from cpuvox_tpu.utils.jaxcache import enable_persistent_cache
@@ -118,35 +121,44 @@ def roll_march(wa, static, dda, alive0, lodd, far_clip, do_gather: bool):
 roll_jit = jax.jit(roll_march, static_argnames=("do_gather",))
 lodd = fp.lod_distances
 fc = fp.far_clip
-i_b, _ = timed("B roll only", roll_jit, wa, static, dda, alive0, lodd, fc,
-               do_gather=False)
-i_c, _ = timed("C roll+gather", roll_jit, wa, static, dda, alive0, lodd, fc,
-               do_gather=True)
-print(f"   chunks run: roll={int(i_b)} gather={int(i_c)}")
+if os.environ.get("PROF_ONLY_E", "0") != "1":
+    i_b, _ = timed("B roll only", roll_jit, wa, static, dda, alive0, lodd, fc,
+                   do_gather=False)
+    i_c, _ = timed("C roll+gather", roll_jit, wa, static, dda, alive0, lodd,
+                   fc, do_gather=True)
+    print(f"   chunks run: roll={int(i_b)} gather={int(i_c)}")
 
 # ---- D/E. full phase 1
 p1_xla = jax.jit(raymarch.phase1, static_argnames=(
     "iteration_direction", "chunk", "max_chunks", "max_runs", "dims", "pixel_len"))
-rb_x = timed("D phase1 XLA", p1_xla, wa, static, dda, alive0, lodd, fc,
-             jnp.float32(dims[1]), fp.cam_pos[1], iteration_direction=itd,
-             chunk=chunk, max_chunks=max_chunks, max_runs=MAXR, dims=dims,
-             pixel_len=pixel_len)
+rb_x = None
+if os.environ.get("PROF_ONLY_E", "0") != "1":
+    rb_x = timed("D phase1 XLA", p1_xla, wa, static, dda, alive0, lodd, fc,
+                 jnp.float32(dims[1]), fp.cam_pos[1], iteration_direction=itd,
+                 chunk=chunk, max_chunks=max_chunks, max_runs=MAXR, dims=dims,
+                 pixel_len=pixel_len)
 
 p1_pl = jax.jit(raymarch.phase1_pallas, static_argnames=(
     "world_max_y", "iteration_direction", "chunk", "max_chunks", "max_runs",
     "dims", "pixel_len", "block_groups", "interpret", "ablate_kernel",
     "ablate_pipeline"))
+p1_pl = jax.jit(raymarch.phase1_pallas, static_argnames=(
+    "world_max_y", "iteration_direction", "chunk", "max_chunks", "max_runs",
+    "dims", "pixel_len", "block_groups", "interpret", "occupancy",
+    "ablate_kernel", "ablate_pipeline"))
 rb_p = timed("E phase1 Pallas", p1_pl, wa, static, dda, alive0, lodd, fc,
              float(dims[1]), fp.cam_pos[1], iteration_direction=itd,
              chunk=chunk, max_chunks=max_chunks, max_runs=MAXR, dims=dims,
              pixel_len=pixel_len,
+             occupancy=os.environ.get("PROF_OCC", "0") == "1",
              # env -> explicit static args here at the DEV-SCRIPT boundary;
              # library code takes these only as parameters
              ablate_kernel=os.environ.get("PHASE1_ABLATE", ""),
              ablate_pipeline=os.environ.get("PHASE1_ABLATE2", ""))
 
-diff = int(jnp.sum(rb_x != rb_p))
-print(f"   pallas vs xla raybuf mismatches: {diff}")
+if rb_x is not None:
+    diff = int(jnp.sum(rb_x != rb_p))
+    print(f"   pallas vs xla raybuf mismatches: {diff}")
 
 # ---- F. phase 2
 n_td = segs[0].ray_count + segs[1].ray_count
@@ -160,7 +172,7 @@ def phase2(rb, colors, ta, tb, tc, rc, rbase, act):
 
 
 p2_jit = jax.jit(phase2)
-timed("F reproject+resolve", p2_jit, rb_x, wa.colors,
+timed("F reproject+resolve", p2_jit, rb_p if rb_x is None else rb_x, wa.colors,
       jnp.asarray(tables["tri_a"]), jnp.asarray(tables["tri_b"]),
       jnp.asarray(tables["tri_c"]), jnp.asarray(tables["ray_count"]),
       jnp.asarray(tables["ray_base"]), jnp.asarray(tables["active"]))

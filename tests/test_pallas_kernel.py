@@ -152,6 +152,52 @@ def test_pallas_occupancy_rewind_matches_xla():
     assert np.array_equal(xs, ps)
 
 
+def test_pallas_occupancy_lite_records_matches_xla():
+    """Deep-RLE INLINE world (4 < max_runs <= INLINE_MAX_RUNS builds lite
+    records): runs of adjacent deep columns force, within one gated group,
+    lanes with 2+ deep cells — exercising the narrow first-deep full fetch AND
+    the processed-prefix cap + rewind (resume at the second deep cell)."""
+    from cpuvox_tpu.render.device import INLINE_MAX_RUNS, LITE_RUNS
+
+    dims = (64, 64, 64)
+    xzs, ys = [], []
+    # deep band: x in [28, 36), all z — every column ~8 runs (alternating
+    # 4-voxel blocks), so rays crossing the band see consecutive deep cells
+    for x in range(28, 36):
+        for z in range(0, 64, 1):
+            yy = np.concatenate([np.arange(0, 32, 8) + o for o in (0, 2)])
+            xzs.append(np.full(yy.shape[0], x * dims[2] + z))
+            ys.append(yy)
+    # lite floor everywhere else
+    xg, zg = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    keep = (xg < 28) | (xg >= 36)
+    xzs.append((xg * dims[2] + zg)[keep].ravel())
+    ys.append(np.zeros(keep.sum(), np.int64))
+    xz = np.concatenate(xzs)
+    y = np.concatenate(ys)
+    rgb = tuple((37 * (xz + y * (3 + i)) % 255).astype(np.uint8)
+                for i in range(3))
+    w = rle.build_lod_from_voxels(dims, 0, xz, y, rgb)
+    mr = int(np.asarray(w.col_runs).max())
+    assert LITE_RUNS < mr <= INLINE_MAX_RUNS, mr
+    lods = rle.build_lod_chain(w, 6)
+    cam = cm.Camera(position=(4.0, 20.0, 4.0), pitch_deg=18.0, yaw_deg=40.0,
+                    screen=SCREEN)
+    outs = {}
+    for backend in ("xla", "pallas"):
+        cfg = RenderConfig(width=SCREEN[0], height=SCREEN[1], chunk_steps=32,
+                           max_march_chunks=64, backend=backend,
+                           pallas_interpret=True, occupancy_gate="on")
+        r = Renderer.create(lods, cfg)
+        assert r._wa.lite_fwd is not None or backend == "xla"
+        outs[backend] = r.render(cam, return_raybuffers=True)
+    xs, (xtd, xlr, *_) = outs["xla"]
+    ps, (ptd, plr, *_) = outs["pallas"]
+    assert np.array_equal(xtd, ptd)
+    assert np.array_equal(xlr, plr)
+    assert np.array_equal(xs, ps)
+
+
 def test_pallas_occupancy_argb_matches_xla():
     """Occupancy gate composed with ARGB record mode."""
     w = scenes.random_world(n=300, seed=5)

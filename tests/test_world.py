@@ -206,3 +206,46 @@ class TestDownsample:
         assert [w.lod for w in chain] == [0, 1, 2, 3]
         for w in chain:
             rle.validate_world(w)
+
+
+class TestPackedInlineRecords:
+    """device.py 16-bit run packing: two runs per int32 word, color index
+    reconstructed post-gather (raymarch._fetch_columns) — must round-trip
+    bit-exactly against the unpacked encoding, both iteration directions."""
+
+    def test_pack_unpack_roundtrip(self):
+        import jax.numpy as jnp
+
+        from cpuvox_tpu.render import device as dv
+        from cpuvox_tpu.render import raymarch as rm
+
+        rng = np.random.default_rng(7)
+        dims = (8, 64, 8)
+        x, y, z, rgb = random_voxels(rng, dims, 300)  # deep columns
+        w0 = build(dims, x, y, z, rgb)
+        dw = dv.build_device_world([w0])
+        mr = dw.max_runs
+        assert mr > 8, mr
+        # packing must have engaged (row narrower than the unpacked layout)
+        assert dw.rec_fwd.shape[1] < ((dv.REC_META + mr + 7) // 8) * 8
+        co = w0.col_offset.astype(np.int64)
+        cr = w0.col_runs.astype(np.int64)
+        wa = rm.world_arrays(dw)
+        n_cols = dw.rec_fwd.shape[0]
+        ci = jnp.arange(n_cols, dtype=jnp.int32).reshape(1, -1)
+        valid = jnp.ones_like(ci, dtype=bool)
+        for itd in (1, -1):
+            n_runs, _, c_off, cmn, cmx, runs_k = rm._fetch_columns(
+                wa, ci, valid, itd, mr)
+            runs_k = np.asarray(runs_k)[0]
+            # expected: the raw per-column runs (tail zero-padded), reversed
+            # in place for itd < 0, each run keeping its fwd color index
+            runs_src = np.concatenate([w0.runs, np.zeros(mr, np.int32)])
+            rev = dv.reverse_runs(w0.runs, w0.col_offset, w0.col_runs)
+            rev = np.concatenate([rev, np.zeros(mr, np.int32)])
+            src = runs_src if itd > 0 else rev
+            for c in range(n_cols):
+                nr = int(cr[c])
+                exp = np.zeros(mr, np.int32)
+                exp[:nr] = src[int(co[c]):int(co[c]) + nr]
+                assert np.array_equal(runs_k[c], exp), (itd, c)
