@@ -33,9 +33,14 @@ class RenderConfig:
     render_scale: float = 1.0
 
     # march bounds for the fixed-shape TPU kernels (replaces the reference's unbounded
-    # per-ray `while(true)`; DrawSegmentRayJob.cs:235)
-    max_march_chunks: int = 64
-    chunk_steps: int = 32
+    # per-ray `while(true)`; DrawSegmentRayJob.cs:235).  0 = auto: the Renderer
+    # resolves them per world — occupancy-gated sparse worlds take BIG chunks
+    # (the gated fetch pays a fixed slot budget per chunk, so bigger chunks
+    # raise slot utilization; measured sweep in PERF_NOTES #19), dense worlds
+    # keep small chunks (the dense fetch cost is per visited cell either way
+    # and big chunks only delay live-ray compaction)
+    max_march_chunks: int = 0
+    chunk_steps: int = 0
 
     # skybox color, ARGB (DrawSegmentRayJob.cs:702 — (25, 25, 25))
     skybox_rgb: tuple[int, int, int] = (25, 25, 25)
@@ -55,6 +60,10 @@ class RenderConfig:
     # empty (mill/powerplant-class content); dense content keeps the one-stage
     # fetch, whose rows the gate could not reduce.
     occupancy_gate: str = "auto"
+    # gated-group size: cells fetched + rasterized per chunk per ray on the
+    # occupancy-gated path (rays with more gated cells in a chunk rewind to
+    # the first unprocessed cell — output-exact for ANY value).  0 = auto
+    gated_group_cells: int = 0
     # per-frame ray init on the host (numpy, bit-exact vs the oracle) or on
     # device (jnp — XLA's FMA contraction drifts a few ULPs vs numpy, which can
     # flip the odd pixel on LOD'd mesh content; the batched rollout path always

@@ -57,11 +57,11 @@ def _sharded_batch_fn(mesh, statics: tuple, wa_specs, fp_specs, cam_spec):
     jax.jit,
     static_argnames=("backend", "interpret", "iteration_direction", "chunk",
                      "max_chunks", "max_runs", "dims", "pixel_len", "width",
-                     "height", "R1", "occupancy"))
+                     "height", "R1", "occupancy", "gated_cells"))
 def _batch_frame_fn(wa, fp_b, tri_a, tri_b, tri_c, ray_count, ray_base, active,
                     backend, interpret, iteration_direction, chunk, max_chunks,
                     max_runs, dims, pixel_len, width, height, R1,
-                    occupancy=False):
+                    occupancy=False, gated_cells=0):
     B = fp_b.cam_pos.shape[0]
 
     static_b, dda_b, alive_b = jax.vmap(
@@ -82,7 +82,8 @@ def _batch_frame_fn(wa, fp_b, tri_a, tri_b, tri_c, ray_count, ray_base, active,
     if backend == "pallas":
         raybuf_idx = raymarch.phase1_pallas(
             wa, static, dda, alive0, lodd, farc, float(dims[1]), cam_y,
-            **common, interpret=interpret, occupancy=occupancy)
+            **common, interpret=interpret, occupancy=occupancy,
+            gated_cells=gated_cells)
     else:
         raybuf_idx = raymarch.phase1(
             wa, static, dda, alive0, lodd, farc, jnp.float32(dims[1]), cam_y,
@@ -158,13 +159,15 @@ def render_camera_batch(renderer, cams: list[cm.Camera], rmesh=None):
                 [v, jnp.zeros((n_pad,) + v.shape[1:], v.dtype)])
                 for k, v in tb.items()}
         interpret = cfg.pallas_interpret or jax.default_backend() == "cpu"
+        chunk, max_chunks = renderer.march_params
         statics = dict(
             backend=cfg.backend, interpret=interpret,
-            iteration_direction=direction, chunk=cfg.chunk_steps,
-            max_chunks=cfg.max_march_chunks,
+            iteration_direction=direction, chunk=chunk,
+            max_chunks=max_chunks,
             max_runs=renderer.device_world.max_runs, dims=dims,
             pixel_len=max(W, H), width=W, height=H, R1=R1,
-            occupancy=renderer.occupancy_on)
+            occupancy=renderer.occupancy_on,
+            gated_cells=cfg.gated_group_cells)
         args = (renderer._wa, fp_b, tb["tri_a"], tb["tri_b"], tb["tri_c"],
                 tb["ray_count"], tb["ray_base"], tb["active"])
         if rmesh is None:

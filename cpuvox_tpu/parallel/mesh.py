@@ -185,7 +185,8 @@ def render_frame_sharded(renderer, cam, rmesh: RenderMesh):
     statics = dict(
         iteration_direction=(
             -1 if cam_data.inverse_element_iteration_direction else 1),
-        chunk=cfg.chunk_steps, max_chunks=cfg.max_march_chunks,
+        chunk=renderer.march_params[0], max_chunks=renderer.march_params[1],
+        gated_cells=cfg.gated_group_cells,
         max_runs=renderer.device_world.max_runs, dims=dims,
         pixel_len=max(rw, rh), world_max_y=float(dims[1]),
         interpret=interpret,

@@ -33,12 +33,14 @@ F = np.float32
     static_argnames=("backend", "interpret", "iteration_direction", "chunk",
                      "max_chunks", "max_runs", "dims", "pixel_len", "width",
                      "height", "R", "out_width", "out_height",
-                     "max_col_colors", "skybox_argb", "occupancy"))
+                     "max_col_colors", "skybox_argb", "occupancy",
+                     "gated_cells"))
 def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
               backend, interpret, iteration_direction, chunk, max_chunks,
               max_runs, dims, pixel_len, width, height, R,
               out_width=None, out_height=None, init=None,
-              max_col_colors=0, skybox_argb=0xFF191919, occupancy=False):
+              max_col_colors=0, skybox_argb=0xFF191919, occupancy=False,
+              gated_cells=0):
     if init is None:
         static, dda, alive0 = device_init.init_rays_device(fp, dims, R)
     else:
@@ -52,7 +54,8 @@ def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
             wa, static, dda, alive0, fp.lod_distances, fp.far_clip,
             float(dims[1]), fp.cam_pos[1], **common, interpret=interpret,
             max_col_colors=max_col_colors if argb_mode else 0,
-            skybox_argb=skybox_argb, occupancy=occupancy)
+            skybox_argb=skybox_argb, occupancy=occupancy,
+            gated_cells=gated_cells)
     else:
         raybuf_idx = raymarch.phase1(
             wa, static, dda, alive0, fp.lod_distances, fp.far_clip,
@@ -133,6 +136,25 @@ class Renderer:
         return getattr(dw, "empty_frac", 0.0) >= 0.5
 
     @property
+    def march_params(self) -> tuple[int, int]:
+        """Resolve (chunk_steps, max_march_chunks), applying the 0=auto policy:
+        occupancy-gated large worlds march in big chunks (the gated fetch pays
+        a fixed GK x rays slot budget per chunk, so bigger chunks raise slot
+        utilization — measured sweep in PERF_NOTES #19); dense or tiny worlds
+        keep chunk 32.  Auto max_chunks covers a 3*max_dim-step march (the
+        round-2/3 bench provisioning, validated vs the oracle on mill content)
+        plus rewind headroom."""
+        cfg = self.config
+        max_dim = max(self.device_world.dims)
+        chunk = cfg.chunk_steps
+        if chunk == 0:
+            chunk = 128 if (self.occupancy_on and max_dim >= 512) else 32
+        max_chunks = cfg.max_march_chunks
+        if max_chunks == 0:
+            max_chunks = (3 * max_dim) // chunk + 64
+        return chunk, max_chunks
+
+    @property
     def ray_capacity(self) -> int:
         """Fixed worst-case padded ray count (RenderManager.cs:34-38 buffer sizing)
         so every camera pose shares one jit signature."""
@@ -194,13 +216,14 @@ class Renderer:
             backend=cfg.backend, interpret=interpret,
             iteration_direction=(
                 -1 if cam_data.inverse_element_iteration_direction else 1),
-            chunk=cfg.chunk_steps, max_chunks=cfg.max_march_chunks,
+            chunk=self.march_params[0], max_chunks=self.march_params[1],
             max_runs=self.device_world.max_runs, dims=dims,
             pixel_len=max(rw, rh), width=rw, height=rh, R=R,
             out_width=cfg.width, out_height=cfg.height, init=init,
             max_col_colors=self.device_world.max_col_colors,
             skybox_argb=int(pack_argb(*cfg.skybox_rgb)),
-            occupancy=self.occupancy_on)
+            occupancy=self.occupancy_on,
+            gated_cells=cfg.gated_group_cells)
         return screen, argb, (segs, ctxs, vp_screen, cam_data, cam)
 
     def render(self, cam: cm.Camera, return_raybuffers: bool = False):

@@ -847,7 +847,7 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                   cam_y, iteration_direction, chunk, max_chunks, max_runs, dims,
                   pixel_len, block_groups=4, interpret=False,
                   max_col_colors: int = 0, skybox_argb: int = 0xFF191919,
-                  occupancy: bool = False,
+                  occupancy: bool = False, gated_cells: int = 0,
                   ablate_kernel: str = "", ablate_pipeline: str = ""):
     """Phase 1 with the chunk rasterizer as a Pallas TPU kernel (cpuvox_tpu.ops.
     phase1_kernel).  Same DDA roll + gathers as `phase1`; per-ray state and the
@@ -874,12 +874,14 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
     MAXR = max_runs
     MCC = max_col_colors
     occupancy = occupancy and wa.occ_tiles is not None
-    # cells rasterized per gated group (the packed kernel's chunk size): bigger
-    # groups amortize per-launch fixed costs; the group count is bounded by the
-    # busiest ray's gated-cell total either way
-    GK = 16 if C % 16 == 0 else 8
+    # cells rasterized per gated group (the packed kernel's chunk size): the
+    # fetch pays GK x Rk gather slots per chunk whether or not lanes have that
+    # many gated cells, while rays with MORE than GK gated cells rewind and
+    # re-pay the chunk roll — so GK trades slot waste against rewinds
+    # (output-exact either way); tunable via RenderConfig.gated_group_cells
+    GK = gated_cells if gated_cells else (16 if C % 16 == 0 else 8)
     if occupancy:
-        assert C % GK == 0, f"chunk {C} must be a multiple of {GK}"
+        assert GK <= C, f"gated group {GK} must not exceed chunk {C}"
     # tile-slot budget per chunk: a ray crosses at most ~C/16 x-tile + ~C/8
     # z-tile boundaries plus one slot per LOD switch; overflow slots degrade to
     # "fetch the record" (correct, just unpruned), so a common-case budget is safe
@@ -1312,7 +1314,7 @@ march_pallas_jit = jax.jit(
     static_argnames=("world_max_y", "iteration_direction", "chunk", "max_chunks",
                      "max_runs", "dims", "pixel_len", "block_groups", "interpret",
                      "max_col_colors", "skybox_argb", "occupancy",
-                     "ablate_kernel", "ablate_pipeline"))
+                     "gated_cells", "ablate_kernel", "ablate_pipeline"))
 
 
 def resolve_colors(raybuf_idx, colors, debug_magenta=np.uint32(0xFFFF1493)):

@@ -179,7 +179,12 @@ class EditableWorld(NamedTuple):
 
 
 def _rec_width(spec: EditableWorldSpec) -> int:
-    return ((4 + spec.max_runs + 7) // 8) * 8
+    # must mirror device.py's inline-record layout exactly: when the 16-bit
+    # two-runs-per-word packing shrinks the padded row, the renderer's fetch
+    # (raymarch._fetch_columns) unpacks — so editable records must pack too
+    from cpuvox_tpu.render.device import packed_run_words
+
+    return ((4 + packed_run_words(spec.max_runs) + 7) // 8) * 8
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
@@ -229,10 +234,25 @@ def column_from_occupancy(spec: EditableWorldSpec, occupancy, argb):
     slot = jnp.zeros(spec.col_colors, jnp.uint32)
     slot = slot.at[tgt].max(jnp.where(occ, col, 0))
 
+    from cpuvox_tpu.render.device import packed_run_words
+
+    rwords = packed_run_words(K)
+
     def row(rr):
+        if rwords != K:
+            # 16-bit packing (two runs per int32 word, air bit 0x8000): the
+            # fetch reconstructs each solid run's color index from a cumsum of
+            # solid lengths, so the explicit cidx in `rr` is dropped here
+            length = rr & 0xFFFF
+            half = jnp.where(rr < 0, 0x8000 | length, length)
+            half = jnp.where(kk < n_runs, half, 0)
+            half = jnp.concatenate(
+                [half, jnp.zeros(2 * rwords - K, jnp.int32)])
+            pairs = half.reshape(rwords, 2)
+            rr = pairs[:, 0] | (pairs[:, 1] << 16)
         return jnp.concatenate([
             jnp.stack([n_runs, jnp.int32(0), cmin, cmax]), rr,
-            jnp.zeros(RW - 4 - K, jnp.int32)])
+            jnp.zeros(RW - 4 - rr.shape[0], jnp.int32)])
 
     return row(runs), row(runs_rev), slot
 
