@@ -225,8 +225,8 @@ def main():
     lods = build_world(scene)
     cfg = RenderConfig(
         width=w, height=h,
-        chunk_steps=int(os.environ.get("BENCH_CHUNK", "32")),
-        max_march_chunks=int(os.environ.get("BENCH_MAX_CHUNKS", "192")),
+        chunk_steps=int(os.environ.get("BENCH_CHUNK", "0")),
+        max_march_chunks=int(os.environ.get("BENCH_MAX_CHUNKS", "0")),
         occupancy_gate=os.environ.get("BENCH_OCC", "auto"))
     t0 = time.time()
     renderer = Renderer.create(lods, cfg)

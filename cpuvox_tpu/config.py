@@ -35,10 +35,10 @@ class RenderConfig:
     # march bounds for the fixed-shape TPU kernels (replaces the reference's unbounded
     # per-ray `while(true)`; DrawSegmentRayJob.cs:235).  0 = auto: the Renderer
     # resolves them per world — occupancy-gated sparse worlds take BIG chunks
-    # (the gated fetch pays a fixed slot budget per chunk, so bigger chunks
-    # raise slot utilization; measured sweep in PERF_NOTES #19), dense worlds
-    # keep small chunks (the dense fetch cost is per visited cell either way
-    # and big chunks only delay live-ray compaction)
+    # (fewer per-chunk fixed costs; paired A/B: -29 ms p50 on mill2048, parity
+    # on mill1024 — PERF_NOTES #19), dense worlds keep small chunks (the dense
+    # fetch cost is per visited cell either way and big chunks only delay
+    # live-ray compaction)
     max_march_chunks: int = 0
     chunk_steps: int = 0
 
@@ -64,11 +64,15 @@ class RenderConfig:
     # occupancy-gated path (rays with more gated cells in a chunk rewind to
     # the first unprocessed cell — output-exact for ANY value).  0 = auto
     gated_group_cells: int = 0
-    # per-frame ray init on the host (numpy, bit-exact vs the oracle) or on
-    # device (jnp — XLA's FMA contraction drifts a few ULPs vs numpy, which can
-    # flip the odd pixel on LOD'd mesh content; the batched rollout path always
-    # uses device init for throughput)
-    host_init: bool = True
+    # per-frame ray init on the host (numpy) or on device (jnp).  Both are
+    # bit-exact vs the oracle: device init pins FMA contraction (opaque-one
+    # multiplies), uses correctly-rounded soft divide/sqrt (utils/ieee.py —
+    # TPU hardware divide/sqrt are ~1 ulp off IEEE), and fixes the matmul
+    # accumulation order (camera.mat4_vec); perf/check_device_init.py is the
+    # on-TPU proof.  False (default) removes ~19 ms/frame of host numpy from
+    # the critical path (PERF_NOTES lever 4); True remains for debugging and
+    # as the fallback if a future libtpu changes rounding again.
+    host_init: bool = False
     # ray groups of 128 lanes per kernel block (VMEM budget vs divergence knob)
     block_groups: int = 4
     # run Pallas in interpreter mode (CPU tests)

@@ -89,6 +89,22 @@ def camera_up(cam: Camera) -> np.ndarray:
     return camera_rotation(cam) @ np.array([0, 1, 0], dtype=F)
 
 
+def mat4_vec(m: np.ndarray, v) -> np.ndarray:
+    """(4,4) @ (4,) with a DEFINED float order: sequential left-to-right
+    column accumulation, every product and add separately rounded.
+
+    numpy's `m @ v` delegates to a BLAS gemv kernel whose accumulation order
+    and FMA use are platform details (measured: 1-ulp deviations from this
+    form on the build host), so it cannot anchor a bit-equality chain.  This
+    form matches Unity.Mathematics mul(float4x4, float4) = c0*v.x + c1*v.y +
+    c2*v.z + c3*v.w under strict IEEE (DrawSegmentRayJob.cs:622-651 usage),
+    and device_init._mat4_vec is its pinned jnp twin."""
+    acc = m[:, 0] * F(v[0])
+    acc = acc + m[:, 1] * F(v[1])
+    acc = acc + m[:, 2] * F(v[2])
+    return acc + m[:, 3] * F(v[3])
+
+
 def _mat4(m3: np.ndarray) -> np.ndarray:
     m = np.eye(4, dtype=F)
     m[:3, :3] = m3

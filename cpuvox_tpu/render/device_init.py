@@ -18,10 +18,12 @@ the contraction — it happens at LLVM/Mosaic codegen, measured on the CPU
 backend.)  The two tiny matmuls are also expanded to numpy's
 sequential-accumulation order.
 
-Full device/host bit-equality remains blocked on TPU hardware divide/sqrt
-rounding (~35% of f32 divides differ from IEEE by an ulp; f64->f32 is
-correctly rounded but requires process-global x64) — host_init stays the
-single-camera default; this path serves the batched rollout mode.
+TPU hardware divide/sqrt are not IEEE-rounded (~35% of f32 divides differ by
+an ulp), so every divide and sqrt here goes through utils/ieee.py's
+correctly-rounded soft implementations (Dekker two-products + exact-sign
+midpoint walks, pure f32) — with those plus the FMA pins, device init is
+bit-exact vs the numpy path on both CPU and TPU (perf/check_device_init.py
+is the on-device proof), which is what lets host_init default to False.
 """
 from __future__ import annotations
 
@@ -31,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.ieee import div_rn, sqrt_rn
 from . import segments as sg
 from .camera import CameraData
 from .raymarch import DDAState, RayStatic
@@ -120,12 +123,12 @@ def init_rays_device(p: FrameParams, dims, R: int):
     plane_index = ray_ids - p.seg_ray_start[seg_id]
     rc = jnp.maximum(p.seg_ray_count[seg_id], 1)
     # DDASetupJob (DrawSegmentRayJob.cs:58-69): lerp + normalize
-    t = plane_index.astype(jnp.float32) / rc.astype(jnp.float32)
+    t = div_rn(plane_index.astype(jnp.float32), rc.astype(jnp.float32))
     lo = p.seg_plane_min[seg_id]
     hi = p.seg_plane_max[seg_id]
     d = lo + _m((hi - lo) * t[:, None])
-    norm = jnp.sqrt(_m(d[:, 0] * d[:, 0]) + _m(d[:, 1] * d[:, 1]))[:, None]
-    dirs = d / norm
+    norm = sqrt_rn(_m(d[:, 0] * d[:, 0]) + _m(d[:, 1] * d[:, 1]))[:, None]
+    dirs = div_rn(d, norm)
     dirs = jnp.where(in_use[:, None], dirs, jnp.array([[1.0, 0.0]], jnp.float32))
 
     axis_y = p.seg_axis_y[seg_id]
@@ -135,7 +138,8 @@ def init_rays_device(p: FrameParams, dims, R: int):
     # --- SegmentDDAData ctor (SegmentDDAData.cs:17-28)
     start = p.cam_pos[jnp.array([0, 2])]
     pos = jnp.broadcast_to(jnp.floor(start).astype(jnp.int32)[None, :], (R, 2))
-    tdelta = 1.0 / jnp.maximum(jnp.float32(1e-7), jnp.abs(dirs))
+    tdelta = div_rn(jnp.float32(1.0),
+                    jnp.maximum(jnp.float32(1e-7), jnp.abs(dirs)))
     sign_dir = jnp.sign(dirs)
     stp = sign_dir.astype(jnp.int32)
     frac = start - jnp.floor(start)
@@ -153,10 +157,15 @@ def init_rays_device(p: FrameParams, dims, R: int):
         pos, tmax, tdelta, stp, ids, lod, alive = args
         hit, n_pos, n_tmax, n_ids = _step_to_world_intersection_jnp(
             start, dirs, tdelta, jnp.array([X, Z], jnp.float32), _m)
+        # host init only touches `outside & alive` lanes (raymarch.py sel=
+        # nonzero(outside & alive)); mask the same way so dead/padded lanes
+        # keep their ctor values and the whole state stays bit-equal, not
+        # just the lanes that can reach pixels
+        upd = alive[:, None]
         alive = alive & hit
-        pos = n_pos
-        tmax = n_tmax
-        ids = n_ids
+        pos = jnp.where(upd, n_pos, pos)
+        tmax = jnp.where(upd, n_tmax, tmax)
+        ids = jnp.where(upd, n_ids, ids)
 
         def ff_body(_, st):  # LOD fast-forward (:123-128)
             pos, tmax, tdelta, stp, ids, lod = st
@@ -216,8 +225,8 @@ def _step_to_world_intersection_jnp(start, dirs, tdelta, dims_f, _m):
     tmax_ = jnp.full_like(dirs, inf)
     for ax in range(2):
         nz = dirs[:, ax] != 0.0
-        t1 = -start[ax] / dirs[:, ax]
-        t2 = (dims_f[ax] - start[ax]) / dirs[:, ax]
+        t1 = div_rn(-start[ax], dirs[:, ax])
+        t2 = div_rn(dims_f[ax] - start[ax], dirs[:, ax])
         tmin = tmin.at[:, ax].set(jnp.where(nz, jnp.minimum(t1, t2), -inf))
         tmax_ = tmax_.at[:, ax].set(jnp.where(nz, jnp.maximum(t1, t2), inf))
     tmint = tmin.max(1)
@@ -231,7 +240,7 @@ def _step_to_world_intersection_jnp(start, dirs, tdelta, dims_f, _m):
         off = _m(tmint * dirs[:, ax])
         hitpos = start[ax] + off
         hitpos = jnp.where(dirs[:, ax] > 0, jnp.floor(hitpos), jnp.ceil(hitpos))
-        tl = (hitpos - start[ax]) / dirs[:, ax]
+        tl = div_rn(hitpos - start[ax], dirs[:, ax])
         t_last = t_last.at[:, ax].set(jnp.where(mask, tl, t_last[:, ax]))
         t_last = t_last.at[:, other].set(
             jnp.where(mask, tmin[:, other], t_last[:, other]))

@@ -27,7 +27,7 @@ from cpuvox_tpu.world import rle
 from cpuvox_tpu.world.rle import WorldLOD
 
 from . import segments as sg
-from .camera import Camera, CameraData
+from .camera import Camera, CameraData, mat4_vec
 
 F = np.float32
 INF = F(np.inf)
@@ -261,9 +261,11 @@ def setup_projected_plane_params(cam_data: CameraData, ray: SegmentDDA, world_ma
     bottom = np.array([start[0], 0.0, start[1], 1.0], F)
     top = np.array([start[0], world_max_y, start[1], 1.0], F)
     dirv = np.array([ray.dir[0], 0.0, ray.dir[1], 0.0], F)
-    pt = m @ top
-    pb = m @ bottom
-    pd = m @ dirv
+    # explicit sequential order shared with raymarch/device_init (BLAS `@`
+    # accumulation order is a platform detail; see camera.mat4_vec)
+    pt = mat4_vec(m, top)
+    pb = mat4_vec(m, bottom)
+    pd = mat4_vec(m, dirv)
     sel = [0, 2, 3] if y_axis == 0 else [1, 2, 3]
     return pb[sel], pt[sel], pd[sel]
 

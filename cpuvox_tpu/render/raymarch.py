@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cpuvox_tpu.render import segments as sg
-from cpuvox_tpu.render.camera import CameraData
+from cpuvox_tpu.render.camera import CameraData, mat4_vec
 from cpuvox_tpu.render.device import DeviceWorld
 
 F = np.float32
@@ -279,11 +279,18 @@ def init_rays(
         alive &= ~beyond
 
     # --- SetupProjectedPlaneParams (:622-651); start is the camera for all rays
-    pb4 = m @ np.array([start[0], 0.0, start[1], 1.0], F)
-    pt4 = m @ np.array([start[0], world_max_y, start[1], 1.0], F)
-    dir4 = np.concatenate([dirs[:, :1], np.zeros((R, 1), F), dirs[:, 1:2],
-                           np.zeros((R, 1), F)], axis=1)
-    pd4 = dir4 @ m.T
+    # explicit sequential order (camera.mat4_vec): BLAS `@` accumulation order
+    # is a platform detail and measured 1 ulp off this form on the build host
+    pb4 = mat4_vec(m, (start[0], F(0.0), start[1], F(1.0)))
+    pt4 = mat4_vec(m, (start[0], world_max_y, start[1], F(1.0)))
+    # pd4[:, i] = dirs.x*m[i,0] + 0*m[i,1] + dirs.z*m[i,2] + 0*m[i,3],
+    # sequential left-to-right — the batched twin of mat4_vec (the explicit
+    # zero terms keep the op sequence identical to device_init's pd4)
+    zero = np.zeros(R, F)
+    pd4 = np.stack([
+        ((dirs[:, 0] * m[i, 0] + zero * m[i, 1]) + dirs[:, 1] * m[i, 2])
+        + zero * m[i, 3]
+        for i in range(4)], axis=1)
     sel_xzw = np.array([0, 2, 3])
     sel_yzw = np.array([1, 2, 3])
     take = np.where(axis_y[:, None] == 0, sel_xzw[None, :], sel_yzw[None, :])
