@@ -69,6 +69,7 @@ class _FakeDeviceWorld:
     max_runs: int
     _wa: object
     max_col_colors: int = 0  # dynamic worlds use the split layout (index mode)
+    lite_runs: int = 0  # dynamic worlds never build lite records
 
     @property
     def colors(self):

@@ -57,11 +57,11 @@ def _sharded_batch_fn(mesh, statics: tuple, wa_specs, fp_specs, cam_spec):
     jax.jit,
     static_argnames=("backend", "interpret", "iteration_direction", "chunk",
                      "max_chunks", "max_runs", "dims", "pixel_len", "width",
-                     "height", "R1", "occupancy", "gated_cells"))
+                     "height", "R1", "occupancy", "gated_cells", "lite_runs"))
 def _batch_frame_fn(wa, fp_b, tri_a, tri_b, tri_c, ray_count, ray_base, active,
                     backend, interpret, iteration_direction, chunk, max_chunks,
                     max_runs, dims, pixel_len, width, height, R1,
-                    occupancy=False, gated_cells=0):
+                    occupancy=False, gated_cells=0, lite_runs=0):
     B = fp_b.cam_pos.shape[0]
 
     static_b, dda_b, alive_b = jax.vmap(
@@ -83,7 +83,7 @@ def _batch_frame_fn(wa, fp_b, tri_a, tri_b, tri_c, ray_count, ray_base, active,
         raybuf_idx = raymarch.phase1_pallas(
             wa, static, dda, alive0, lodd, farc, float(dims[1]), cam_y,
             **common, interpret=interpret, occupancy=occupancy,
-            gated_cells=gated_cells)
+            gated_cells=gated_cells, lite_runs=lite_runs)
     else:
         raybuf_idx = raymarch.phase1(
             wa, static, dda, alive0, lodd, farc, jnp.float32(dims[1]), cam_y,
@@ -167,7 +167,8 @@ def render_camera_batch(renderer, cams: list[cm.Camera], rmesh=None):
             max_runs=renderer.device_world.max_runs, dims=dims,
             pixel_len=max(W, H), width=W, height=H, R1=R1,
             occupancy=renderer.occupancy_on,
-            gated_cells=cfg.gated_group_cells)
+            gated_cells=cfg.gated_group_cells,
+            lite_runs=renderer.device_world.lite_runs)
         args = (renderer._wa, fp_b, tb["tri_a"], tb["tri_b"], tb["tri_c"],
                 tb["ray_count"], tb["ray_base"], tb["active"])
         if rmesh is None:

@@ -192,7 +192,8 @@ def render_frame_sharded(renderer, cam, rmesh: RenderMesh):
         interpret=interpret,
         max_col_colors=renderer.device_world.max_col_colors,
         skybox_argb=int(pack_argb(*cfg.skybox_rgb)),
-        occupancy=renderer.occupancy_on)
+        occupancy=renderer.occupancy_on,
+        lite_runs=renderer.device_world.lite_runs)
 
     wa = renderer._wa
     wa_specs = jax.tree_util.tree_map(lambda _: P(), wa)

@@ -25,11 +25,16 @@ from cpuvox_tpu.world.rle import WorldLOD
 REC = 8  # ints per split-layout column record (32 B aligned gather row)
 REC_META = 4  # leading meta ints in an inline record: n_runs, color_off, cmin, cmax
 INLINE_MAX_RUNS = 60  # inline runs into the record while 4 + max_runs <= 64 ints
-LITE_RUNS = 4  # lite record: meta + first 4 runs in ONE 32-byte gather row.
-# Deep-RLE worlds (mill max_runs=45 -> 224-byte records = 7 gather-row units)
-# pay the full row width on EVERY gated fetch although most visited columns
-# have <= 4 runs; the gated march fetches lite rows (1 unit) and takes a
-# second, per-lane-narrow fetch only for "deep" cells (n_runs > LITE_RUNS).
+LITE_RUNS = 4  # legacy fixed lite tier (kept for tests); builds now pick an
+# ADAPTIVE tier per world — see _pick_lite_tier.  Deep-RLE worlds (mill
+# max_runs=45 -> 128-byte packed records = 4 gather-row units) pay the full
+# row width on EVERY gated fetch although most visited columns have far fewer
+# runs (mill: median 9, 88% <= 24); the gated march fetches lite rows (tier 24
+# = 2 units) and takes a second, per-lane-narrow fetch only for "deep" cells
+# (n_runs > tier).  Lite rows are ALWAYS 16-bit packed and carry the column's
+# total solid length in slot 0 bits 8+ (n_runs in bits 0-7) so the reversed
+# iteration direction can reconstruct forward color indices from a TRUNCATED
+# run prefix (cidx_fwd = total_solid - cum_before_rev - length).
 # (one gather row per visited cell beats the split record+runs double gather up
 # to ~256-byte rows; deeper worlds fall back to the split layout)
 # occupancy tiles: one 32-byte row per OCC_TILE_X x OCC_TILE_Z block of columns
@@ -79,11 +84,13 @@ class DeviceWorld:
     # upward iteration direction (DrawSegmentRayJob.cs:432-437).
     rec_fwd: np.ndarray | None = None  # int32 [total_cols, 4 + padded max_runs]
     rec_rev: np.ndarray | None = None
-    # lite records (LITE_RUNS): [n_runs(true), color_off, cmin, cmax, run0..3]
-    # in one 32-byte row; built when max_runs > LITE_RUNS so the gated march
-    # fetches 1 gather-row unit per cell instead of ceil((4+max_runs)/8)
-    lite_fwd: np.ndarray | None = None  # int32 [total_cols, 8]
+    # lite records (adaptive tier, see _pick_lite_tier): [n_runs | total_solid
+    # << 8, color_off, cmin, cmax, packed run words...] in ceil((4 + ceil(t/2))
+    # / 8) * 8 int32 — fewer gather-row units than the full record; the gated
+    # march fetches these and falls back to a narrow full fetch for deep cells
+    lite_fwd: np.ndarray | None = None  # int32 [total_cols, row]
     lite_rev: np.ndarray | None = None
+    lite_runs: int = 0  # the adaptive tier t (0 = lite not built)
     # ARGB mode (INLINE_MAX_COLORS): the column's voxel colors are ALSO inline
     # (alpha-MSB cleared), appended after the runs; max_col_colors > 0 marks it
     max_col_colors: int = 0
@@ -97,6 +104,9 @@ class DeviceWorld:
     tile_gz: np.ndarray | None = None  # int32 [8] (tiles per x-row per LOD)
     # fraction of LOD0 columns with zero runs (drives the occupancy auto policy)
     empty_frac: float = 0.0
+    # world-sharded active window [tx0, tz0, t_log2, W] (parallel/world_shard
+    # fills this on ACTIVE worlds only; None = plain replicated layout)
+    win: np.ndarray | None = None
 
 
 def build_occ_tiles(lods: list[WorldLOD]):
@@ -244,18 +254,63 @@ def build_device_world(lods: list[WorldLOD],
         dw.rec_rev = _inline_records(rec, runs_bwd, max_runs, colors, mcc)
         dw.max_col_colors = mcc
         dw.col_rec = dw.runs = dw.runs_rev = None
-        # lite records only pay off when MOST gated (nonempty) columns fit in
-        # LITE_RUNS — otherwise nearly every cell takes the narrow deep fetch
-        # AND the processed-prefix cap multiplies the chunk count (mill-class
-        # content has a median of ~9 runs per nonempty column: lite off)
-        ne = lods[0].col_runs[lods[0].col_runs > 0]
-        if (max_runs > LITE_RUNS and ne.size
-                and float((ne <= LITE_RUNS).mean()) >= 0.5):
-            # n_runs in slot 0 stays the TRUE count (deep detection + kernel
-            # masking); only the first LITE_RUNS runs ride along
-            dw.lite_fwd = _inline_records(rec, runs_fwd, LITE_RUNS, colors, 0)
-            dw.lite_rev = _inline_records(rec, runs_bwd, LITE_RUNS, colors, 0)
+        # adaptive lite tier: pick the narrowest packed row whose expected
+        # gather cost (units + deep-cell fallback) beats the full record
+        tier = _pick_lite_tier(cr, max_runs, mcc)
+        if tier:
+            total_solid = col_colors  # sum of the column's solid-run lengths
+            dw.lite_fwd = _lite_records(rec, runs_fwd, tier, total_solid)
+            dw.lite_rev = _lite_records(rec, runs_bwd, tier, total_solid)
+            dw.lite_runs = tier
     return dw
+
+
+def _pick_lite_tier(col_runs: np.ndarray, max_runs: int, mcc: int) -> int:
+    """Choose the adaptive lite-record tier (run capacity) for a world, or 0.
+
+    Candidate tiers are the largest run counts that fit 1, 2, 3... 32-byte
+    gather-row units with 16-bit packing (t = 16*u - 8).  Expected per-fetch
+    cost of a tier = its units + (1 - coverage) * (full record units + a
+    measured penalty for the deep-cell fallback: the narrow full fetch plus
+    occasional prefix-cap rewind chunks — PERF_NOTES findings 16/17).
+    Coverage is over NONEMPTY columns of the whole concatenated LOD chain
+    (empty columns never reach the gated fetch)."""
+    if mcc:  # ARGB mode inlines colors; the lite split doesn't apply
+        return 0
+    ne = col_runs[col_runs > 0]
+    if not ne.size:
+        return 0
+    full_units = (REC_META + packed_run_words(max_runs) + 7) // 8
+    if full_units <= 1:
+        return 0
+    DEEP_PENALTY = 2.0
+    best_tier, best_cost = 0, float(full_units) - 0.25
+    for u in range(1, full_units):
+        t = 2 * (8 * u - REC_META)  # meta + ceil(t/2) words fill u units exactly
+        if t >= max_runs:
+            break
+        cov = float((ne <= t).mean())
+        cost = u + (1.0 - cov) * (full_units + DEEP_PENALTY)
+        if cost < best_cost:
+            best_tier, best_cost = t, cost
+    return best_tier
+
+
+def _lite_records(rec: np.ndarray, runs: np.ndarray, tier: int,
+                  total_solid: np.ndarray) -> np.ndarray:
+    """Lite record rows: [n_runs | total_solid << 8, color_off, cmin, cmax,
+    16-bit packed run words for the first `tier` runs].  total_solid rides in
+    slot 0 so the reversed-iteration fetch can reconstruct forward color
+    indices from a truncated run prefix (deep columns beyond the tier take the
+    narrow full fetch instead, so their truncated words are never decoded)."""
+    out = _inline_records(rec, runs, tier, np.zeros(1, np.uint32), 0)
+    assert packed_run_words(tier) != tier, tier  # lite rows are always packed
+    n_runs = rec[:, 0].astype(np.int64)
+    assert int(n_runs.max(initial=0)) < (1 << 8)
+    ts = total_solid.astype(np.int64)
+    assert int(ts.max(initial=0)) < (1 << 23)
+    out[:, 0] = (n_runs | (ts << 8)).astype(np.int32)
+    return out
 
 
 def packed_run_words(max_runs: int, max_cc: int = 0) -> int:

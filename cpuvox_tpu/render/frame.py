@@ -34,13 +34,13 @@ F = np.float32
                      "max_chunks", "max_runs", "dims", "pixel_len", "width",
                      "height", "R", "out_width", "out_height",
                      "max_col_colors", "skybox_argb", "occupancy",
-                     "gated_cells"))
+                     "gated_cells", "lite_runs"))
 def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
               backend, interpret, iteration_direction, chunk, max_chunks,
               max_runs, dims, pixel_len, width, height, R,
               out_width=None, out_height=None, init=None,
               max_col_colors=0, skybox_argb=0xFF191919, occupancy=False,
-              gated_cells=0):
+              gated_cells=0, lite_runs=0):
     if init is None:
         static, dda, alive0 = device_init.init_rays_device(fp, dims, R)
     else:
@@ -55,7 +55,7 @@ def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
             float(dims[1]), fp.cam_pos[1], **common, interpret=interpret,
             max_col_colors=max_col_colors if argb_mode else 0,
             skybox_argb=skybox_argb, occupancy=occupancy,
-            gated_cells=gated_cells)
+            gated_cells=gated_cells, lite_runs=lite_runs)
     else:
         raybuf_idx = raymarch.phase1(
             wa, static, dda, alive0, fp.lod_distances, fp.far_clip,
@@ -223,7 +223,8 @@ class Renderer:
             max_col_colors=self.device_world.max_col_colors,
             skybox_argb=int(pack_argb(*cfg.skybox_rgb)),
             occupancy=self.occupancy_on,
-            gated_cells=cfg.gated_group_cells)
+            gated_cells=cfg.gated_group_cells,
+            lite_runs=self.device_world.lite_runs)
         return screen, argb, (segs, ctxs, vp_screen, cam_data, cam)
 
     def render(self, cam: cm.Camera, return_raybuffers: bool = False):

@@ -81,8 +81,9 @@ class WorldArrays(NamedTuple):
     # inline layout (device.py _inline_records): meta + runs in one gather row
     rec_fwd: jnp.ndarray | None = None
     rec_rev: jnp.ndarray | None = None
-    # lite records (device.py LITE_RUNS): meta + first 4 runs in ONE 32-byte
-    # row — the gated fetch's fast path on deep-RLE worlds
+    # lite records (device.py _pick_lite_tier): meta + the first `lite_runs`
+    # runs 16-bit packed in a row narrower than the full record — the gated
+    # fetch's fast path on deep-RLE worlds
     lite_fwd: jnp.ndarray | None = None
     lite_rev: jnp.ndarray | None = None
     # occupancy tiles (device.py build_occ_tiles): emptiness bitmap + cmin/cmax
@@ -90,6 +91,34 @@ class WorldArrays(NamedTuple):
     occ_tiles: jnp.ndarray | None = None
     tile_base: jnp.ndarray | None = None
     tile_gz: jnp.ndarray | None = None
+    # world-sharded active window [tx0, tz0, t_log2, W] (parallel/world_shard):
+    # when set, LOD0 column indices remap through the camera-local tile window
+    win: jnp.ndarray | None = None
+
+
+def _cell_index(wa: "WorldArrays", lodc, v_lod, xc, zc):
+    """Column index of visited cells in the (active) world arrays.
+
+    Plain worlds: ci = col_base[lod] + xc * grid_z[lod] + zc (device.py layout).
+    World-sharded active worlds (wa.win = [tx0, tz0, t_log2, W] — see
+    parallel/world_shard.py) remap LOD0 through the camera-local tile window
+    with pure arithmetic: slot = window-relative tile coords, local index =
+    row-major within the tile; out-of-window cells resolve to the all-empty
+    sentinel tile (slot W*W).  No extra gather rides the hot path — the window
+    form exists precisely so the remap is a handful of VPU integer ops.
+    """
+    ci = (_small_lut(wa.col_base, lodc, 8)
+          + xc * _small_lut(wa.grid_z, lodc, 8) + zc)
+    if wa.win is None:
+        return ci
+    tx0, tz0, tl, w = wa.win[0], wa.win[1], wa.win[2], wa.win[3]
+    tmask = (jnp.int32(1) << tl) - 1
+    txr = (xc >> tl) - tx0
+    tzr = (zc >> tl) - tz0
+    inw = (txr >= 0) & (txr < w) & (tzr >= 0) & (tzr < w)
+    slot = jnp.where(inw, txr * w + tzr, w * w)
+    ci0 = (slot << (2 * tl)) + ((xc & tmask) << tl) + (zc & tmask)
+    return jnp.where(v_lod == 0, ci0, ci)
 
 
 def _small_lut(table, idx, n: int):
@@ -794,9 +823,8 @@ def march(
         v_pos, v_ids, v_lod, v_valid = visits[:4]  # (C, R, ...)
 
         lodc = jnp.clip(v_lod, 0, 7)
-        ci = (_small_lut(wa.col_base, lodc, 8)
-              + (v_pos[:, :, 0] >> v_lod) * _small_lut(wa.grid_z, lodc, 8)
-              + (v_pos[:, :, 1] >> v_lod))
+        ci = _cell_index(wa, lodc, v_lod,
+                         v_pos[:, :, 0] >> v_lod, v_pos[:, :, 1] >> v_lod)
         ci = jnp.where(v_valid, ci, 0)
         n_runs, run_off, color_off, cmin, cmax, runs_k = _fetch_columns(
             wa, ci, v_valid, iteration_direction, max_runs)
@@ -855,6 +883,7 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                   pixel_len, block_groups=4, interpret=False,
                   max_col_colors: int = 0, skybox_argb: int = 0xFF191919,
                   occupancy: bool = False, gated_cells: int = 0,
+                  lite_runs: int = 0,
                   ablate_kernel: str = "", ablate_pipeline: str = ""):
     """Phase 1 with the chunk rasterizer as a Pallas TPU kernel (cpuvox_tpu.ops.
     phase1_kernel).  Same DDA roll + gathers as `phase1`; per-ray state and the
@@ -1039,8 +1068,7 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
             lodc = jnp.clip(v_lod, 0, 7)
             xc = v_pos[:, :, 0] >> v_lod
             zc = v_pos[:, :, 1] >> v_lod
-            ci = (_small_lut(wa.col_base, lodc, 8)
-                  + xc * _small_lut(wa.grid_z, lodc, 8) + zc)
+            ci = _cell_index(wa, lodc, v_lod, xc, zc)
 
             if not occupancy:
                 # ---- dense path: one record row per visited cell
@@ -1160,14 +1188,18 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
             # REWIND to their first unprocessed cell below — the group drain
             # was max-per-ray bound (one busy ray forced full-width fetches
             # for everyone), the cap makes fetched slots track the cap instead
-            from cpuvox_tpu.render.device import LITE_RUNS
 
-            # lite fast path (deep-RLE worlds): fetch 32-byte lite rows (meta +
-            # first 4 runs, ONE gather-row unit vs ceil((4+MAXR)/8)); "deep"
-            # cells (n_runs > 4) take a second per-lane-NARROW full fetch for
-            # each lane's FIRST deep cell, and the per-lane processed prefix
-            # stops before a second deep cell (the rewind below resumes there)
-            use_lite = wa.lite_fwd is not None and MCC == 0
+            # lite fast path (deep-RLE worlds): fetch ADAPTIVE-tier lite rows
+            # (meta + the first `lite_runs` runs, 16-bit packed — e.g. tier 24
+            # is 2 gather-row units vs mill's 4 full units and covers 88% of
+            # its nonempty columns); "deep" cells (n_runs > tier) take a
+            # second per-lane-NARROW full fetch for each lane's FIRST deep
+            # cell, and the per-lane processed prefix stops before a second
+            # deep cell (the rewind below resumes there)
+            use_lite = (wa.lite_fwd is not None and MCC == 0
+                        and lite_runs > 0)
+            LR = lite_runs
+            LW = (LR + 1) // 2  # lite run words (always 16-bit packed)
 
             def gcond(gc):
                 g, raybuf, state, cap = gc
@@ -1199,8 +1231,10 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                         jnp.where(vk, ci_g, spread).ravel())
                     lrec = jax.lax.optimization_barrier(lite_src[flat])
                     lrec = lrec.reshape(ci_g.shape + (lrec.shape[-1],))
-                    n_l = jnp.where(vk, lrec[..., 0], 0)
-                    deep = n_l > LITE_RUNS
+                    slot0 = lrec[..., 0]
+                    n_l = jnp.where(vk, slot0 & 0xFF, 0)
+                    tot = jax.lax.shift_right_logical(slot0, 8)
+                    deep = n_l > LR
                     dexcl = jnp.cumsum(deep.astype(jnp.int32), axis=0) - deep
                     # processed prefix: everything before the lane's SECOND
                     # deep cell (the first deep cell gets the narrow full row)
@@ -1215,9 +1249,31 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                     color_off = lrec[..., 1]
                     cmin = lrec[..., 2]
                     cmax = lrec[..., 3]
+                    # unpack the 16-bit run words; the color index is an
+                    # integer cumsum of solid lengths exactly like
+                    # _fetch_columns, except the reversed direction uses the
+                    # column TOTAL from slot 0 (the prefix may be truncated)
+                    words = lrec[..., 4:4 + LW]
+                    lo = words & 0xFFFF
+                    hi = jax.lax.shift_right_logical(words, 16)
+                    halves = jnp.stack([lo, hi], axis=-1).reshape(
+                        words.shape[:-1] + (2 * LW,))[..., :LR]
+                    length = halves & 0x7FFF
+                    air = (halves & 0x8000) != 0
+                    solid_len = jnp.where(air, 0, length)
+                    cum = jnp.cumsum(solid_len, axis=-1)
+                    cum_excl = cum - solid_len
+                    if iteration_direction > 0:
+                        cidx = cum_excl
+                    else:
+                        cidx = tot[..., None] - cum_excl - length
+                    runs_l = jnp.where(air, jnp.int32(-1 << 16) | length,
+                                       (cidx << 16) | length)
+                    k_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, runs_l.shape, runs_l.ndim - 1)
+                    runs_l = jnp.where(k_iota < n_l[..., None], runs_l, 0)
                     runs_k = jnp.concatenate(
-                        [lrec[..., 4:4 + LITE_RUNS],
-                         jnp.zeros((GK, Rk, MAXR - LITE_RUNS), jnp.int32)],
+                        [runs_l, jnp.zeros((GK, Rk, MAXR - LR), jnp.int32)],
                         axis=-1)
                     runs_k = jnp.where(first_deep[:, :, None], fr_runs, runs_k)
                     colors_k = None
@@ -1321,7 +1377,8 @@ march_pallas_jit = jax.jit(
     static_argnames=("world_max_y", "iteration_direction", "chunk", "max_chunks",
                      "max_runs", "dims", "pixel_len", "block_groups", "interpret",
                      "max_col_colors", "skybox_argb", "occupancy",
-                     "gated_cells", "ablate_kernel", "ablate_pipeline"))
+                     "gated_cells", "lite_runs", "ablate_kernel",
+                     "ablate_pipeline"))
 
 
 def resolve_colors(raybuf_idx, colors, debug_magenta=np.uint32(0xFFFF1493)):

@@ -370,6 +370,7 @@ def editable_renderer(spec: EditableWorldSpec, ew: EditableWorld, config=None):
         max_runs: int
         max_col_colors: int
         _colors: object
+        lite_runs: int = 0  # editable worlds never build lite records
 
         @property
         def colors(self):

@@ -153,11 +153,11 @@ def test_pallas_occupancy_rewind_matches_xla():
 
 
 def test_pallas_occupancy_lite_records_matches_xla():
-    """Deep-RLE INLINE world (4 < max_runs <= INLINE_MAX_RUNS builds lite
-    records): runs of adjacent deep columns force, within one gated group,
-    lanes with 2+ deep cells — exercising the narrow first-deep full fetch AND
-    the processed-prefix cap + rewind (resume at the second deep cell)."""
-    from cpuvox_tpu.render.device import INLINE_MAX_RUNS, LITE_RUNS
+    """Deep-RLE INLINE world (the adaptive tier picker builds lite records):
+    runs of adjacent deep columns force, within one gated group, lanes with
+    2+ deep cells — exercising the narrow first-deep full fetch AND the
+    processed-prefix cap + rewind (resume at the second deep cell)."""
+    from cpuvox_tpu.render.device import INLINE_MAX_RUNS
 
     dims = (64, 64, 64)
     xzs, ys = [], []
@@ -179,23 +179,33 @@ def test_pallas_occupancy_lite_records_matches_xla():
                 for i in range(3))
     w = rle.build_lod_from_voxels(dims, 0, xz, y, rgb)
     mr = int(np.asarray(w.col_runs).max())
-    assert LITE_RUNS < mr <= INLINE_MAX_RUNS, mr
+    assert 8 < mr <= INLINE_MAX_RUNS, mr
     lods = rle.build_lod_chain(w, 6)
-    cam = cm.Camera(position=(4.0, 20.0, 4.0), pitch_deg=18.0, yaw_deg=40.0,
-                    screen=SCREEN)
-    outs = {}
-    for backend in ("xla", "pallas"):
-        cfg = RenderConfig(width=SCREEN[0], height=SCREEN[1], chunk_steps=32,
-                           max_march_chunks=64, backend=backend,
-                           pallas_interpret=True, occupancy_gate="on")
-        r = Renderer.create(lods, cfg)
-        assert r._wa.lite_fwd is not None or backend == "xla"
-        outs[backend] = r.render(cam, return_raybuffers=True)
-    xs, (xtd, xlr, *_) = outs["xla"]
-    ps, (ptd, plr, *_) = outs["pallas"]
-    assert np.array_equal(xtd, ptd)
-    assert np.array_equal(xlr, plr)
-    assert np.array_equal(xs, ps)
+    # pitch +18 marches downward; -25 flips iteration_direction, exercising
+    # the reversed-table lite decode (fwd color index reconstructed from the
+    # column total_solid in lite slot 0 — a truncated prefix has no grand sum)
+    cams = [cm.Camera(position=(4.0, 20.0, 4.0), pitch_deg=18.0, yaw_deg=40.0,
+                      screen=SCREEN),
+            cm.Camera(position=(4.0, 26.0, 4.0), pitch_deg=-25.0, yaw_deg=40.0,
+                      screen=SCREEN)]
+    for cam in cams:
+        outs = {}
+        for backend in ("xla", "pallas"):
+            cfg = RenderConfig(width=SCREEN[0], height=SCREEN[1],
+                               chunk_steps=32, max_march_chunks=64,
+                               backend=backend, pallas_interpret=True,
+                               occupancy_gate="on")
+            r = Renderer.create(lods, cfg)
+            if backend == "pallas":
+                dw = r.device_world
+                assert dw.lite_fwd is not None and 0 < dw.lite_runs < mr, \
+                    (dw.lite_runs, mr)
+            outs[backend] = r.render(cam, return_raybuffers=True)
+        xs, (xtd, xlr, *_) = outs["xla"]
+        ps, (ptd, plr, *_) = outs["pallas"]
+        assert np.array_equal(xtd, ptd)
+        assert np.array_equal(xlr, plr)
+        assert np.array_equal(xs, ps)
 
 
 def test_pallas_occupancy_argb_matches_xla():
