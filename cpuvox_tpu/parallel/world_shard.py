@@ -59,7 +59,7 @@ class _ActiveWorldMeta:
     lod0_voxels: int
     max_col_colors: int = 0
     lite_runs: int = 0
-    occ_tiles: None = None
+    occ_tiles: object = None  # non-None enables the occupancy auto policy
     empty_frac: float = 0.0
 
 
@@ -89,6 +89,19 @@ class ShardedWorld:
     col_base: np.ndarray  # int32 [8] original concat bases
     grid_z: np.ndarray
     skybox: np.uint32
+    # occupancy tiles (device.py build_occ_tiles), same striping: (T/16)*(T/8)
+    # 8-int rows per world tile — the gated two-stage march works sharded
+    owned_occ: jax.Array | None = None  # (nt_pad, T^2/128, 8) int32
+    coarse_occ: np.ndarray | None = None
+    tile_base: np.ndarray | None = None
+    tile_gz: np.ndarray | None = None
+    empty_frac: float = 0.0
+    # adaptive lite records (device.py _pick_lite_tier), same striping
+    owned_lite_fwd: jax.Array | None = None  # (nt_pad, T*T, lite_w) int32
+    owned_lite_rev: jax.Array | None = None
+    coarse_lite_fwd: np.ndarray | None = None
+    coarse_lite_rev: np.ndarray | None = None
+    lite_runs: int = 0
 
     @property
     def n_chips(self) -> int:
@@ -162,6 +175,37 @@ class ShardedWorld:
         # coarse color offsets 0-based into coarse_colors (rebased per window)
         coarse_fwd[:, 1] -= 1 + n0c
         coarse_rev[:, 1] -= 1 + n0c
+        extra = {}
+        if t >= 16 and dw.occ_tiles is not None:
+            # occupancy tiles (16x8 columns per row) nest inside world tiles;
+            # stripe LOD0's rows the same way so the gated march works sharded
+            tb = dw.tile_base
+            occ0 = dw.occ_tiles[tb[0]:tb[1]]  # (gx/16 * gz/8, 8)
+            r = occ0.reshape(nt_x, t // 16, nt_z, t // 8, 8)
+            occ_t = np.moveaxis(r, 2, 1).reshape(nt, (t * t) // 128, 8)
+            g_occ = np.zeros((nt_pad,) + occ_t.shape[1:], np.int32)
+            g_occ[grow] = occ_t
+            extra.update(
+                owned_occ=jax.device_put(g_occ, shard),
+                coarse_occ=dw.occ_tiles[tb[1]:].copy(),
+                tile_base=tb.copy(), tile_gz=dw.tile_gz.copy(),
+                empty_frac=dw.empty_frac)
+        if dw.lite_fwd is not None and dw.max_col_colors == 0:
+            lf = tile_order(dw.lite_fwd[:n0]).copy()
+            lr = tile_order(dw.lite_rev[:n0]).copy()
+            lf[:, :, 1] = loc.astype(np.int32)  # slot 1 -> tile-local
+            lr[:, :, 1] = loc.astype(np.int32)
+            g_lf = np.zeros((nt_pad,) + lf.shape[1:], np.int32)
+            g_lr = np.zeros_like(g_lf)
+            g_lf[grow], g_lr[grow] = lf, lr
+            clf = dw.lite_fwd[n0:].copy()
+            clr = dw.lite_rev[n0:].copy()
+            clf[:, 1] -= 1 + n0c
+            clr[:, 1] -= 1 + n0c
+            extra.update(owned_lite_fwd=jax.device_put(g_lf, shard),
+                         owned_lite_rev=jax.device_put(g_lr, shard),
+                         coarse_lite_fwd=clf, coarse_lite_rev=clr,
+                         lite_runs=dw.lite_runs)
         return cls(
             mesh=mesh, dims=dw.dims, lod_levels=dw.lod_levels,
             max_runs=dw.max_runs, lod0_voxels=dw.lod0_voxels,
@@ -172,7 +216,7 @@ class ShardedWorld:
             coarse_fwd=coarse_fwd, coarse_rev=coarse_rev,
             coarse_colors=dw.colors[1 + n0c:].copy(),
             col_base=dw.col_base.copy(), grid_z=dw.grid_z.copy(),
-            skybox=np.uint32(dw.colors[0]))
+            skybox=np.uint32(dw.colors[0]), **extra)
 
     def make_exchange(self):
         """Jitted window fetch: psum-gather the window's tiles from their
@@ -183,32 +227,37 @@ class ShardedWorld:
         nc, ntl = self.n_chips, self.owned_fwd.shape[0] // self.n_chips
         mesh, cb = self.mesh, self.cb
 
-        def shard_fn(of, orv, oc, tids):
+        def shard_fn(owned, tids):
             ax = jax.lax.axis_index("world").astype(jnp.int32)
             valid = tids >= 0
             tt = jnp.maximum(tids, 0)
             sel = valid & (tt % nc == ax)
             lidx = jnp.clip(tt // nc, 0, ntl - 1)
-            f = jnp.where(sel[:, None, None], of[lidx], 0)
-            rv = jnp.where(sel[:, None, None], orv[lidx], 0)
-            c = jnp.where(sel[:, None], oc[lidx], 0)
-            return (jax.lax.psum(f, "world"), jax.lax.psum(rv, "world"),
-                    jax.lax.psum(c, "world"))
 
-        fetch = jax.shard_map(shard_fn, mesh=mesh,
-                              in_specs=(P("world"), P("world"), P("world"),
-                                        P()),
-                              out_specs=(P(), P(), P()))
+            def pick(o):
+                sb = sel.reshape(sel.shape + (1,) * (o.ndim - 1))
+                return jax.lax.psum(jnp.where(sb, o[lidx], 0), "world")
 
-        def exchange(of, orv, oc, tids):
-            f, rv, c = fetch(of, orv, oc, tids)
+            return tuple(pick(o) for o in owned)
+
+        def exchange(owned, rebase, tids):
+            """owned: dict name -> striped array; rebase: names whose record
+            slot 1 (color_off, tile-local) shifts to its active color block."""
+            names = tuple(owned)
+            fetch = jax.shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=(tuple(P("world") for _ in names), P()),
+                out_specs=tuple(P() for _ in names))
+            got = dict(zip(names, fetch(tuple(owned.values()), tids)))
             w2 = tids.shape[0]
             base = 1 + jnp.arange(w2, dtype=jnp.int32) * cb  # [0] = skybox
-            add = jnp.zeros((w2, 1, f.shape[-1]), jnp.int32
-                            ).at[..., 1].set(base[:, None])
-            return f + add, rv + add, c
+            for k in rebase:
+                add = jnp.zeros((w2, 1, got[k].shape[-1]), jnp.int32
+                                ).at[..., 1].set(base[:, None])
+                got[k] = got[k] + add
+            return got
 
-        return jax.jit(exchange)
+        return jax.jit(exchange, static_argnames=("rebase",))
 
 
 class ShardedRenderer:
@@ -228,7 +277,8 @@ class ShardedRenderer:
         sw = self.sw
         meta = _ActiveWorldMeta(
             dims=sw.dims, lod_levels=sw.lod_levels, max_runs=sw.max_runs,
-            lod0_voxels=sw.lod0_voxels)
+            lod0_voxels=sw.lod0_voxels, lite_runs=sw.lite_runs,
+            occ_tiles=sw.owned_occ, empty_frac=sw.empty_frac)
         self.inner = Renderer(device_world=meta, config=cfg)
         self._exchange = sw.make_exchange()
         self._window_key = None
@@ -261,36 +311,63 @@ class ShardedRenderer:
         txs, tzs = tx0 + wi[:, None], tz0 + wi[None, :]
         valid = (txs >= 0) & (txs < sw.nt_x) & (tzs >= 0) & (tzs < sw.nt_z)
         tids = np.where(valid, txs * sw.nt_z + tzs, -1).astype(np.int32)
-        f, rv, c = self._exchange(sw.owned_fwd, sw.owned_rev, sw.owned_colors,
-                                  jnp.asarray(tids.ravel()))
+        owned = {"fwd": sw.owned_fwd, "rev": sw.owned_rev,
+                 "colors": sw.owned_colors}
+        rebase = ("fwd", "rev")
+        if sw.owned_occ is not None:
+            owned["occ"] = sw.owned_occ
+        if sw.owned_lite_fwd is not None:
+            owned["lite_fwd"] = sw.owned_lite_fwd
+            owned["lite_rev"] = sw.owned_lite_rev
+            rebase = rebase + ("lite_fwd", "lite_rev")
+        got = self._exchange(owned, rebase, jnp.asarray(tids.ravel()))
         self._n_exchanges += 1
         dev = jax.devices()[0]
         w2 = w * w
-        sent = jnp.zeros((1, t * t, sw.rec_w), jnp.int32)
-        fine_f = jnp.concatenate([jax.device_put(f, dev), sent]
-                                 ).reshape(-1, sw.rec_w)
-        fine_r = jnp.concatenate([jax.device_put(rv, dev), sent]
-                                 ).reshape(-1, sw.rec_w)
-        fine_rows = (w2 + 1) * t * t
 
-        cf, cr = sw.coarse_fwd.copy(), sw.coarse_rev.copy()
-        cf[:, 1] += 1 + w2 * sw.cb  # coarse colors follow the fine blocks
-        cr[:, 1] += 1 + w2 * sw.cb
+        def fine_plus_coarse(key, coarse, cb_shift=True):
+            """[window blocks, zero sentinel block, rebased coarse rows]."""
+            blocks = jax.device_put(got[key], dev)
+            sent = jnp.zeros((1,) + blocks.shape[1:], jnp.int32)
+            fine = jnp.concatenate([blocks, sent]).reshape(
+                -1, blocks.shape[-1])
+            coarse = coarse.copy()
+            if cb_shift:  # coarse colors follow the fine color blocks
+                coarse[:, 1] += 1 + w2 * sw.cb
+            return jnp.concatenate([fine, jnp.asarray(coarse)])
+
         colors = jnp.concatenate([
             jnp.asarray(np.array([sw.skybox], np.uint32)),
-            jax.device_put(c, dev).view(jnp.uint32).reshape(-1),
+            jax.device_put(got["colors"], dev).view(jnp.uint32).reshape(-1),
             jnp.asarray(sw.coarse_colors)])
 
         col_base = sw.col_base.copy()
         n0 = sw.nt_x * sw.nt_z * t * t
-        col_base[1:] = fine_rows + (col_base[1:] - n0)
+        col_base[1:] = (w2 + 1) * t * t + (col_base[1:] - n0)
         col_base[0] = 0
+
+        occ = tile_base = tile_gz = None
+        if "occ" in got:
+            occ = fine_plus_coarse("occ", sw.coarse_occ, cb_shift=False)
+            tile_base = sw.tile_base.copy()
+            tile_base[1:] = (w2 + 1) * ((t * t) // 128) + (
+                sw.tile_base[1:] - sw.tile_base[1])
+            tile_base[0] = 0
+            tile_gz = jnp.asarray(sw.tile_gz)
+            tile_base = jnp.asarray(tile_base)
+
+        lite_f = lite_r = None
+        if "lite_fwd" in got:
+            lite_f = fine_plus_coarse("lite_fwd", sw.coarse_lite_fwd)
+            lite_r = fine_plus_coarse("lite_rev", sw.coarse_lite_rev)
 
         self.inner._wa = raymarch.WorldArrays(
             col_base=jnp.asarray(col_base), grid_z=jnp.asarray(sw.grid_z),
             col_rec=None, runs=None, runs_rev=None, colors=colors,
-            rec_fwd=jnp.concatenate([fine_f, jnp.asarray(cf)]),
-            rec_rev=jnp.concatenate([fine_r, jnp.asarray(cr)]),
+            rec_fwd=fine_plus_coarse("fwd", sw.coarse_fwd),
+            rec_rev=fine_plus_coarse("rev", sw.coarse_rev),
+            lite_fwd=lite_f, lite_rev=lite_r,
+            occ_tiles=occ, tile_base=tile_base, tile_gz=tile_gz,
             win=jnp.asarray([tx0, tz0, sw.tl, w], jnp.int32))
         self._window_key = (tx0, tz0, w)
 

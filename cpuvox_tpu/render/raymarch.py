@@ -121,6 +121,29 @@ def _cell_index(wa: "WorldArrays", lodc, v_lod, xc, zc):
     return jnp.where(v_lod == 0, ci0, ci)
 
 
+def _occ_tile_index(wa: "WorldArrays", lodc, v_lod, xc, zc):
+    """Occupancy-tile row of visited cells (16x8 column tiles, device.py
+    build_occ_tiles).  World-sharded active worlds remap LOD0 rows through the
+    same camera-local window as _cell_index: per-slot blocks of T^2/128 rows,
+    off-window -> the all-zero sentinel block (zero bitmap = all-empty, which
+    the gate treats exactly like the builder's empty tiles)."""
+    ti = (_small_lut(wa.tile_base, lodc, 8)
+          + (xc >> 4) * _small_lut(wa.tile_gz, lodc, 8) + (zc >> 3))
+    if wa.win is None:
+        return ti
+    tx0, tz0, tl, w = wa.win[0], wa.win[1], wa.win[2], wa.win[3]
+    tmask = (jnp.int32(1) << tl) - 1
+    txr = (xc >> tl) - tx0
+    tzr = (zc >> tl) - tz0
+    inw = (txr >= 0) & (txr < w) & (tzr >= 0) & (tzr < w)
+    slot = jnp.where(inw, txr * w + tzr, w * w)
+    rows_per_tile = jnp.int32(1) << (2 * tl - 7)  # (T/16)*(T/8)
+    ti0 = (slot * rows_per_tile
+           + ((xc & tmask) >> 4) * (jnp.int32(1) << (tl - 3))
+           + ((zc & tmask) >> 3))
+    return jnp.where(v_lod == 0, ti0, ti)
+
+
 def _small_lut(table, idx, n: int):
     """table[idx] for a tiny (n <= ~10 entries) table as an unrolled select
     chain — XLA lowers tiny-table `table[idx]` as a REAL per-row gather
@@ -1105,8 +1128,7 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
             # crosses this chunk (~C/8 rows instead of C).  Consecutive steps
             # share a tile, so dedupe by packing first-steps-of-tiles to a TS
             # budget via one small sort; budget overflow degrades to "fetch".
-            ti = (_small_lut(wa.tile_base, lodc, 8)
-                  + (xc >> 4) * _small_lut(wa.tile_gz, lodc, 8) + (zc >> 3))
+            ti = _occ_tile_index(wa, lodc, v_lod, xc, zc)
             step_iota = jax.lax.broadcasted_iota(jnp.int32, (C, Rk), 0)
             new = jnp.concatenate(
                 [jnp.ones((1, Rk), bool), ti[1:] != ti[:-1]], axis=0)

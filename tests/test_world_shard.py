@@ -30,7 +30,8 @@ def small_world():
 
 
 def _cfg(**kw):
-    return RenderConfig(width=SCREEN[0], height=SCREEN[1], backend="xla", **kw)
+    kw.setdefault("backend", "xla")
+    return RenderConfig(width=SCREEN[0], height=SCREEN[1], **kw)
 
 
 def test_sharded_matches_replicated(small_world):
@@ -102,8 +103,10 @@ def test_owner_striping_covers_all_tiles(small_world):
     sw = ShardedWorld.build(lods, mesh, tile_cols=32)
     ex = sw.make_exchange()
     nt = sw.nt_x * sw.nt_z
-    f, rv, c = ex(sw.owned_fwd, sw.owned_rev, sw.owned_colors,
-                  jnp.arange(nt, dtype=jnp.int32))
+    got = ex({"fwd": sw.owned_fwd, "rev": sw.owned_rev,
+              "colors": sw.owned_colors}, ("fwd", "rev"),
+             jnp.arange(nt, dtype=jnp.int32))
+    f, c = got["fwd"], got["colors"]
     # reassemble the original LOD0 concat layout from the fetched tiles
     from cpuvox_tpu.render.device import build_device_world
 
@@ -120,6 +123,59 @@ def test_owner_striping_covers_all_tiles(small_world):
     # colors: one block per tile (values are proven end-to-end by the
     # bit-equality render tests above)
     assert np.asarray(c).view(np.uint32).shape == (nt, sw.cb)
+
+
+def test_sharded_gated_lite_pallas_matches_replicated():
+    """Mill-class sharded world: occupancy tiles and adaptive lite records are
+    striped with the record tiles, so the gated two-stage Pallas march (and
+    its lite/deep split) runs against the ACTIVE window — bit-equal to the
+    plain replicated renderer, including with a strict-subset window."""
+    from cpuvox_tpu.world import rle
+
+    dims = (64, 64, 64)
+    xzs, ys = [], []
+    rng = np.random.default_rng(11)
+    for tower in range(40):  # sparse deep towers: empty majority + deep RLE
+        x = int(rng.integers(0, 64))
+        z = int(rng.integers(0, 64))
+        for band in range(int(rng.integers(8, 13))):
+            y0 = int(rng.integers(0, 56))
+            for y in range(y0, min(y0 + 2, 64)):
+                xzs.append(x * dims[2] + z)
+                ys.append(y)
+    for pebble in range(200):  # shallow majority so a lite tier is picked
+        x = int(rng.integers(0, 64))
+        z = int(rng.integers(0, 64))
+        xzs.append(x * dims[2] + z)
+        ys.append(int(rng.integers(0, 8)))
+    xz = np.array(xzs, np.int64)
+    y = np.array(ys, np.int64)
+    rgb = tuple(((xz * 37 + y * (13 + i)) % 256).astype(np.uint8)
+                for i in range(3))
+    w0 = rle.build_lod_from_voxels(dims, 0, xz, y, rgb)
+    lods = rle.build_lod_chain(w0, 4)
+    cfg = _cfg(backend="pallas", pallas_interpret=True, occupancy_gate="on",
+               chunk_steps=32, max_march_chunks=64)
+    plain = Renderer.create(lods, cfg)
+    sr = ShardedRenderer(lods, _mesh(), cfg, tile_cols=16)
+    assert sr.sw.owned_occ is not None
+    assert plain.occupancy_on and sr.inner.occupancy_on
+    assert sr.sw.lite_runs == plain.device_world.lite_runs > 0
+    cams = [cm.Camera(position=(32.0, 40.0, 32.0), pitch_deg=20.0,
+                      yaw_deg=35.0, screen=SCREEN),
+            cm.Camera(position=(20.0, 30.0, 44.0), pitch_deg=-15.0,
+                      yaw_deg=220.0, screen=SCREEN)]
+    plain.render(cams[0])
+    ld = plain.lod_distances.copy()
+    ld[0] = 10.0  # strict-subset window: 3 of 4 tiles per side
+    plain.lod_distances = ld
+    sr.inner.lod_distances = ld.copy()
+    sr.inner.far_clip = plain.far_clip
+    for cam in cams:
+        a = plain.render(cam)
+        b = sr.render(cam)
+        assert np.array_equal(a, b), int((a != b).sum())
+    assert sr._window_key[2] < sr.sw.nt_x
 
 
 def test_rejects_unsupported_layouts(small_world):
