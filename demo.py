@@ -36,6 +36,18 @@ def parse_args():
     ap.add_argument("--flythrough", action="store_true",
                     help="use the benchmark path instead of an orbit")
     ap.add_argument("--backend", default=None, choices=[None, "pallas", "xla"])
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the JAX CPU backend (this environment's TPU "
+                    "plugin overrides JAX_PLATFORMS, so an env var is not "
+                    "enough); combine with "
+                    "XLA_FLAGS=--xla_force_host_platform_device_count=N for "
+                    "a virtual mesh")
+    ap.add_argument("--world-shard", action="store_true",
+                    help="stripe LOD0 over all local devices and render "
+                    "through the camera-local window exchange "
+                    "(parallel/world_shard.py)")
+    ap.add_argument("--tile-cols", type=int, default=256,
+                    help="world-shard tile side in columns (power of two)")
     ap.add_argument("--lod-error", type=float, default=1.0)
     ap.add_argument("--out", default="/tmp/cpuvox_frames")
     ap.add_argument("--profile", action="store_true")
@@ -66,6 +78,11 @@ def main():
     args = parse_args()
     os.makedirs(args.out, exist_ok=True)
 
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from cpuvox_tpu.utils.jaxcache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -87,7 +104,17 @@ def main():
                        lod_error=args.lod_error,
                        **({"backend": args.backend} if args.backend else {}))
     with PROFILER.scope("create-renderer"):
-        renderer = Renderer.create(lods, cfg)
+        if args.world_shard:
+            import jax
+            from jax.sharding import Mesh
+
+            from cpuvox_tpu.parallel.world_shard import ShardedRenderer
+
+            mesh = Mesh(np.array(jax.devices()), axis_names=("world",))
+            renderer = ShardedRenderer(lods, mesh, cfg,
+                                       tile_cols=args.tile_cols)
+        else:
+            renderer = Renderer.create(lods, cfg)
 
     if args.interactive:
         from cpuvox_tpu.frontend.interactive import (InteractiveSession,
