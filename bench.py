@@ -19,6 +19,38 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def wait_for_device(max_wait_s: float = 900.0, probe_timeout_s: float = 90.0):
+    """Block until the TPU backend initializes, retrying through tunnel
+    outages (this environment's tunneled TPU disappears for stretches —
+    PERF_NOTES caveat; a bench run that starts during an outage should wait it
+    out, not hang forever or crash without a record).  Probes in a subprocess
+    because a hung PJRT init cannot be cancelled in-process."""
+    import subprocess
+
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(len(jax.devices()))"],
+                timeout=probe_timeout_s, capture_output=True)
+            if r.returncode == 0:
+                if attempt > 1:
+                    log(f"device back after {time.time() - t0:.0f}s "
+                        f"({attempt} probes)")
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        waited = time.time() - t0
+        if waited >= max_wait_s:
+            log(f"device unavailable after {waited:.0f}s; giving up")
+            return False
+        log(f"device probe {attempt} failed ({waited:.0f}s elapsed); retrying")
+        time.sleep(30)
+
+
 def build_world(scene: str):
     import numpy as np
 
@@ -190,6 +222,8 @@ def run_dynamic(size=512, wh=(1280, 720), n_frames=12):
 
 def main():
     scene = os.environ.get("BENCH_SCENE", "terrain2048")
+    if os.environ.get("BENCH_WAIT_DEVICE", "1") == "1":
+        wait_for_device()
     if scene.startswith("dynamic"):
         import jax
 
