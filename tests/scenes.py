@@ -81,3 +81,32 @@ def render_oracle_frame(lods, cam, lod_distances=None):
 
 FLOOR_COLOR = pack_argb(40, 200, 60)
 TOWER_COLOR = pack_argb(200, 50, 50)
+
+
+def deep_tower_world(dims=(64, 64, 64), towers=40, pebbles=200, seed=11,
+                     lod_levels=4):
+    """Sparse deep-RLE towers + shallow pebbles: empty-majority LOD0 (the
+    occupancy gate engages on auto) whose run histogram makes the adaptive
+    lite-tier picker choose a tier (device._pick_lite_tier) — the mill-class
+    content profile in miniature."""
+    rng = np.random.default_rng(seed)
+    xzs, ys = [], []
+    for _ in range(towers):
+        x = int(rng.integers(0, dims[0]))
+        z = int(rng.integers(0, dims[2]))
+        for _ in range(int(rng.integers(8, 13))):
+            y0 = int(rng.integers(0, dims[1] - 8))
+            for y in range(y0, min(y0 + 2, dims[1])):
+                xzs.append(x * dims[2] + z)
+                ys.append(y)
+    for _ in range(pebbles):
+        x = int(rng.integers(0, dims[0]))
+        z = int(rng.integers(0, dims[2]))
+        xzs.append(x * dims[2] + z)
+        ys.append(int(rng.integers(0, 8)))
+    xz = np.array(xzs, np.int64)
+    y = np.array(ys, np.int64)
+    rgb = tuple(((xz * 37 + y * (13 + i)) % 256).astype(np.uint8)
+                for i in range(3))
+    w0 = rle.build_lod_from_voxels(dims, 0, xz, y, rgb)
+    return rle.build_lod_chain(w0, lod_levels)

@@ -47,3 +47,26 @@ def test_batch_pallas_matches_xla_batch():
         r = Renderer.create(lods, cfg)
         outs[backend] = np.asarray(render_camera_batch(r, cams))
     assert np.array_equal(outs["xla"], outs["pallas"])
+
+
+def test_batch_gated_lite_matches_individual():
+    """Batched pallas through the GATED path (occupancy tiles + adaptive lite
+    records thread as batch statics): each camera's slice must equal its
+    per-camera render bitwise."""
+    import scenes as sc
+
+    lods = sc.deep_tower_world()
+    cfg = RenderConfig(width=64, height=48, chunk_steps=32,
+                       max_march_chunks=64, backend="pallas",
+                       pallas_interpret=True, occupancy_gate="on")
+    r = Renderer.create(lods, cfg)
+    assert r.occupancy_on and r.device_world.lite_runs > 0
+    cams = [
+        cm.Camera(position=(32, 40, 32), pitch_deg=20.0, yaw_deg=35.0),
+        cm.Camera(position=(20, 30, 44), pitch_deg=-15.0, yaw_deg=220.0),
+        cm.Camera(position=(8, 45, 8), pitch_deg=35.0, yaw_deg=45.0),
+    ]
+    batch = np.asarray(render_camera_batch(r, cams))
+    for i, cam in enumerate(cams):
+        single = r.render(cam)
+        assert np.array_equal(batch[i], single), f"camera {i} differs"

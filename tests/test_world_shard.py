@@ -130,30 +130,9 @@ def test_sharded_gated_lite_pallas_matches_replicated():
     striped with the record tiles, so the gated two-stage Pallas march (and
     its lite/deep split) runs against the ACTIVE window — bit-equal to the
     plain replicated renderer, including with a strict-subset window."""
-    from cpuvox_tpu.world import rle
+    import scenes
 
-    dims = (64, 64, 64)
-    xzs, ys = [], []
-    rng = np.random.default_rng(11)
-    for tower in range(40):  # sparse deep towers: empty majority + deep RLE
-        x = int(rng.integers(0, 64))
-        z = int(rng.integers(0, 64))
-        for band in range(int(rng.integers(8, 13))):
-            y0 = int(rng.integers(0, 56))
-            for y in range(y0, min(y0 + 2, 64)):
-                xzs.append(x * dims[2] + z)
-                ys.append(y)
-    for pebble in range(200):  # shallow majority so a lite tier is picked
-        x = int(rng.integers(0, 64))
-        z = int(rng.integers(0, 64))
-        xzs.append(x * dims[2] + z)
-        ys.append(int(rng.integers(0, 8)))
-    xz = np.array(xzs, np.int64)
-    y = np.array(ys, np.int64)
-    rgb = tuple(((xz * 37 + y * (13 + i)) % 256).astype(np.uint8)
-                for i in range(3))
-    w0 = rle.build_lod_from_voxels(dims, 0, xz, y, rgb)
-    lods = rle.build_lod_chain(w0, 4)
+    lods = scenes.deep_tower_world()
     cfg = _cfg(backend="pallas", pallas_interpret=True, occupancy_gate="on",
                chunk_steps=32, max_march_chunks=64)
     plain = Renderer.create(lods, cfg)
