@@ -64,6 +64,15 @@ class RenderConfig:
     # occupancy-gated path (rays with more gated cells in a chunk rewind to
     # the first unprocessed cell — output-exact for ANY value).  0 = auto
     gated_group_cells: int = 0
+    # block-conditional gated fetch ("auto" | "on" | "off"): on the gated
+    # path, run the per-group record fetch as a scan over 128-lane ray blocks
+    # and SKIP the gather for blocks with zero gated cells this group
+    # (lax.cond) — the fetch otherwise pays GK x Rk gather slots at ~22% slot
+    # utilization on mill-class content (PERF_NOTES #15).  Output-exact by
+    # construction: skipped blocks produce zeros, which the kernel's
+    # valid/n_runs gating already treats as no-ops.  "auto" = on whenever the
+    # occupancy gate is active.
+    block_fetch: str = "auto"
     # per-frame ray init on the host (numpy) or on device (jnp).  Both are
     # bit-exact vs the oracle: device init pins FMA contraction (opaque-one
     # multiplies), uses correctly-rounded soft divide/sqrt (utils/ieee.py —

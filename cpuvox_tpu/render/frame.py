@@ -34,13 +34,13 @@ F = np.float32
                      "max_chunks", "max_runs", "dims", "pixel_len", "width",
                      "height", "R", "out_width", "out_height",
                      "max_col_colors", "skybox_argb", "occupancy",
-                     "gated_cells", "lite_runs"))
+                     "gated_cells", "lite_runs", "block_fetch"))
 def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
               backend, interpret, iteration_direction, chunk, max_chunks,
               max_runs, dims, pixel_len, width, height, R,
               out_width=None, out_height=None, init=None,
               max_col_colors=0, skybox_argb=0xFF191919, occupancy=False,
-              gated_cells=0, lite_runs=0):
+              gated_cells=0, lite_runs=0, block_fetch=True):
     if init is None:
         static, dda, alive0 = device_init.init_rays_device(fp, dims, R)
     else:
@@ -55,7 +55,8 @@ def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
             float(dims[1]), fp.cam_pos[1], **common, interpret=interpret,
             max_col_colors=max_col_colors if argb_mode else 0,
             skybox_argb=skybox_argb, occupancy=occupancy,
-            gated_cells=gated_cells, lite_runs=lite_runs)
+            gated_cells=gated_cells, lite_runs=lite_runs,
+            block_fetch=block_fetch)
     else:
         raybuf_idx = raymarch.phase1(
             wa, static, dda, alive0, fp.lod_distances, fp.far_clip,
@@ -83,7 +84,7 @@ def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
             screen_idx = reproject.reproject.__wrapped__(
                 raybuf_idx, tri_a, tri_b, tri_c, ray_count, ray_base, active,
                 width=width, height=height, skybox=jnp.int32(0))
-        screen = raymarch.resolve_colors(screen_idx, wa.colors)
+        screen = raymarch.resolve_colors_banded(screen_idx, wa.colors)
     if out_width is not None and (out_width, out_height) != (width, height):
         # native-size upscale of the scaled render (the reference renders through
         # a low-res "fake camera" and lets the GPU blit stretch it,
@@ -134,6 +135,17 @@ class Renderer:
         if mode == "off":
             return False
         return getattr(dw, "empty_frac", 0.0) >= 0.5
+
+    @property
+    def block_fetch_on(self) -> bool:
+        """Resolve the block-conditional-fetch policy ("auto" = whenever the
+        occupancy gate is active; see RenderConfig.block_fetch)."""
+        mode = getattr(self.config, "block_fetch", "auto")
+        if mode == "on":
+            return True
+        if mode == "off":
+            return False
+        return self.occupancy_on
 
     @property
     def march_params(self) -> tuple[int, int]:
@@ -224,7 +236,8 @@ class Renderer:
             skybox_argb=int(pack_argb(*cfg.skybox_rgb)),
             occupancy=self.occupancy_on,
             gated_cells=cfg.gated_group_cells,
-            lite_runs=self.device_world.lite_runs)
+            lite_runs=self.device_world.lite_runs,
+            block_fetch=self.block_fetch_on)
         return screen, argb, (segs, ctxs, vp_screen, cam_data, cam)
 
     def render(self, cam: cm.Camera, return_raybuffers: bool = False):

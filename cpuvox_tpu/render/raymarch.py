@@ -906,7 +906,7 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                   pixel_len, block_groups=4, interpret=False,
                   max_col_colors: int = 0, skybox_argb: int = 0xFF191919,
                   occupancy: bool = False, gated_cells: int = 0,
-                  lite_runs: int = 0,
+                  lite_runs: int = 0, block_fetch: bool = True,
                   ablate_kernel: str = "", ablate_pipeline: str = ""):
     """Phase 1 with the chunk rasterizer as a Pallas TPU kernel (cpuvox_tpu.ops.
     phase1_kernel).  Same DDA roll + gathers as `phase1`; per-ray state and the
@@ -1228,22 +1228,15 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                 head = jax.lax.dynamic_slice_in_dim(kb_s, g * GK, 1, axis=0)
                 return (g < 1) & jnp.any(head < BIG)
 
-            def gbody(gc):
-                g, raybuf, state, cap = gc
-
-                def sl(a):
-                    return jax.lax.dynamic_slice_in_dim(a, g * GK, GK, axis=0)
-
-                vk = sl(kb_s) < BIG  # (GK, Rk)
-                proc = vk
-                if ablate2 == "nofetch":  # dev bisection: WRONG output
-                    z = jnp.zeros((GK, Rk), jnp.int32)
-                    n_runs, color_off, cmin, cmax = z, z, z, z
-                    runs_k = jnp.zeros((GK, Rk, MAXR), jnp.int32)
-                    colors_k = (jnp.zeros((GK, Rk, MCC), jnp.int32)
-                                if MCC else None)
-                elif use_lite:
-                    ci_g = sl(ci_s)
+            def group_fields(ci_g, vk):
+                """Fetch + field prep for one gated group slice: (GK, RW) cell
+                indices + gate mask -> (proc, n_runs, color_off, cmin, cmax,
+                runs_k[, colors_k]).  RW is Rk (full-width) or 128 (one lane
+                block inside the block-conditional scan); every op here is
+                within-lane or along the GK axis, so the per-block slice
+                computes exactly the full-width slice's columns."""
+                RW = ci_g.shape[1]
+                if use_lite:
                     lite_src = (wa.lite_fwd if iteration_direction > 0
                                 else wa.lite_rev)
                     nl_rows = lite_src.shape[0]
@@ -1262,10 +1255,21 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                     # deep cell (the first deep cell gets the narrow full row)
                     proc = vk & ((dexcl == 0) | ((dexcl == 1) & ~deep))
                     first_deep = deep & (dexcl == 0)
-                    has_deep = jnp.any(first_deep, axis=0)  # (Rk,)
+                    has_deep = jnp.any(first_deep, axis=0)  # (RW,)
                     ci_d = jnp.sum(jnp.where(first_deep, ci_g, 0), axis=0)
-                    fr_n, _, _, _, fr_runs, _ = fetch(
-                        ci_d[None, :], has_deep[None, :])
+
+                    def deep_fetch():
+                        fr = fetch(ci_d[None, :], has_deep[None, :])
+                        return fr[0], fr[4]
+
+                    def deep_zeros():
+                        return (jnp.zeros((1, RW), jnp.int32),
+                                jnp.zeros((1, RW, MAXR), jnp.int32))
+
+                    # most groups have no deep cell at all (88% tier coverage
+                    # on mill) — skip the full-width fallback gather entirely
+                    fr_n, fr_runs = jax.lax.cond(
+                        jnp.any(has_deep), deep_fetch, deep_zeros)
                     n_runs = jnp.where(proc, n_l, 0)
                     n_runs = jnp.where(first_deep, fr_n, n_runs)
                     color_off = lrec[..., 1]
@@ -1295,13 +1299,75 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                         jnp.int32, runs_l.shape, runs_l.ndim - 1)
                     runs_l = jnp.where(k_iota < n_l[..., None], runs_l, 0)
                     runs_k = jnp.concatenate(
-                        [runs_l, jnp.zeros((GK, Rk, MAXR - LR), jnp.int32)],
+                        [runs_l, jnp.zeros((GK, RW, MAXR - LR), jnp.int32)],
                         axis=-1)
                     runs_k = jnp.where(first_deep[:, :, None], fr_runs, runs_k)
                     colors_k = None
                 else:
+                    proc = vk
                     n_runs, color_off, cmin, cmax, runs_k, colors_k = fetch(
-                        sl(ci_s), vk)
+                        ci_g, vk)
+                out = (proc.astype(jnp.int32), n_runs, color_off, cmin, cmax,
+                       runs_k)
+                return out + ((colors_k,) if MCC else ())
+
+            def gbody(gc):
+                g, raybuf, state, cap = gc
+
+                def sl(a):
+                    return jax.lax.dynamic_slice_in_dim(a, g * GK, GK, axis=0)
+
+                vk = sl(kb_s) < BIG  # (GK, Rk)
+                if ablate2 == "nofetch":  # dev bisection: WRONG output
+                    z = jnp.zeros((GK, Rk), jnp.int32)
+                    proc = vk
+                    n_runs, color_off, cmin, cmax = z, z, z, z
+                    runs_k = jnp.zeros((GK, Rk, MAXR), jnp.int32)
+                    colors_k = (jnp.zeros((GK, Rk, MCC), jnp.int32)
+                                if MCC else None)
+                elif block_fetch and G > 1:
+                    # block-conditional fetch: scan over 128-lane ray blocks,
+                    # skipping the gather for blocks with zero gated cells
+                    # this group (most blocks, on mostly-air content — the
+                    # full-width fetch paid GK x Rk slots at ~22% utilization,
+                    # PERF_NOTES #15).  Skipped blocks yield zeros == exactly
+                    # what the kernel's valid/n_runs gating ignores.
+                    cib = sl(ci_s).reshape(GK, G, 128).transpose(1, 0, 2)
+                    vkb = vk.reshape(GK, G, 128).transpose(1, 0, 2)
+
+                    def blk(_, cv):
+                        ci_i, vk_i = cv
+
+                        def zeros():
+                            z = jnp.zeros((GK, 128), jnp.int32)
+                            zr = jnp.zeros((GK, 128, MAXR), jnp.int32)
+                            out = (z, z, z, z, z, zr)
+                            if MCC:
+                                out += (jnp.zeros((GK, 128, MCC), jnp.int32),)
+                            return out
+
+                        return None, jax.lax.cond(
+                            jnp.any(vk_i != 0),
+                            lambda: group_fields(ci_i, vk_i != 0), zeros)
+
+                    _, outs = jax.lax.scan(
+                        blk, None, (cib, vkb.astype(jnp.int32)))
+
+                    def back(x):  # (G, GK, 128[, W]) -> (GK, Rk[, W])
+                        if x.ndim == 3:
+                            return x.transpose(1, 0, 2).reshape(GK, Rk)
+                        return x.transpose(1, 0, 2, 3).reshape(
+                            GK, Rk, x.shape[-1])
+
+                    outs = tuple(back(x) for x in outs)
+                    proc_i, n_runs, color_off, cmin, cmax, runs_k = outs[:6]
+                    proc = proc_i != 0
+                    colors_k = outs[6] if MCC else None
+                else:
+                    outs = group_fields(sl(ci_s), vk)
+                    proc_i, n_runs, color_off, cmin, cmax, runs_k = outs[:6]
+                    proc = proc_i != 0
+                    colors_k = outs[6] if MCC else None
                 if ablate2 == "noraster":  # dev bisection: WRONG output
                     raybuf = raybuf.at[:, 0, :].add(
                         jnp.sum(runs_k, axis=(0, 2)).reshape(G, 128)
@@ -1399,11 +1465,40 @@ march_pallas_jit = jax.jit(
     static_argnames=("world_max_y", "iteration_direction", "chunk", "max_chunks",
                      "max_runs", "dims", "pixel_len", "block_groups", "interpret",
                      "max_col_colors", "skybox_argb", "occupancy",
-                     "gated_cells", "lite_runs", "ablate_kernel",
-                     "ablate_pipeline"))
+                     "gated_cells", "lite_runs", "block_fetch",
+                     "ablate_kernel", "ablate_pipeline"))
 
 
 def resolve_colors(raybuf_idx, colors, debug_magenta=np.uint32(0xFFFF1493)):
     """Color-index raybuffer -> ARGB uint32; unwritten (-1) -> debug magenta."""
     vals = colors[jnp.clip(raybuf_idx, 0, colors.shape[0] - 1)]
     return jnp.where(raybuf_idx < 0, jnp.uint32(debug_magenta), vals)
+
+
+def resolve_colors_banded(screen_idx, colors,
+                          debug_magenta=np.uint32(0xFFFF1493)):
+    """resolve_colors for the (H, W) screen, skipping the gather for 8-row
+    bands whose indices are all <= 0 (sky/out-of-range) — sky is spatially
+    coherent (the upper screen), and the resolve gather costs ~27 ns per ROW
+    regardless of the index values (PERF_NOTES cost table), so the only lever
+    is issuing fewer rows.  Bit-identical to resolve_colors: an all-<=0 band
+    resolves to colors[0] / magenta with no gather."""
+    H, W = screen_idx.shape
+    B = 8
+    pad = (-H) % B
+    idx = screen_idx if not pad else jnp.pad(
+        screen_idx, ((0, pad), (0, 0)), constant_values=-1)
+    bands = idx.reshape((H + pad) // B, B, W)
+    sky = jnp.broadcast_to(colors[0], (B, W))
+
+    def band(_, bi):
+        def do():
+            return resolve_colors(bi, colors, debug_magenta)
+
+        def skip():
+            return jnp.where(bi < 0, jnp.uint32(debug_magenta), sky)
+
+        return None, jax.lax.cond(jnp.any(bi > 0), do, skip)
+
+    _, out = jax.lax.scan(band, None, bands)
+    return out.reshape(H + pad, W)[:H]

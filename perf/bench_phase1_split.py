@@ -48,7 +48,7 @@ lodd = jnp.asarray(cam_data.lod_distances)
 p1 = jax.jit(rm.phase1_pallas, static_argnames=(
     "world_max_y", "iteration_direction", "chunk", "max_chunks", "max_runs",
     "dims", "pixel_len", "block_groups", "interpret", "max_col_colors",
-    "skybox_argb", "occupancy", "ablate_kernel", "ablate_pipeline"))
+    "skybox_argb", "occupancy", "block_fetch", "ablate_kernel", "ablate_pipeline"))
 
 
 def timed(tag, **kw):

@@ -144,7 +144,7 @@ p1_pl = jax.jit(raymarch.phase1_pallas, static_argnames=(
     "ablate_pipeline"))
 p1_pl = jax.jit(raymarch.phase1_pallas, static_argnames=(
     "world_max_y", "iteration_direction", "chunk", "max_chunks", "max_runs",
-    "dims", "pixel_len", "block_groups", "interpret", "occupancy",
+    "dims", "pixel_len", "block_groups", "interpret", "occupancy", "block_fetch",
     "ablate_kernel", "ablate_pipeline"))
 rb_p = timed("E phase1 Pallas", p1_pl, wa, static, dda, alive0, lodd, fc,
              float(dims[1]), fp.cam_pos[1], iteration_direction=itd,

@@ -242,3 +242,28 @@ def test_pallas_argb_records_matches_xla():
     sa = ra.render(cam)
     sr = Renderer.create([w] * 6, cfg_ref).render(cam)
     assert np.array_equal(sa, sr)
+
+
+def test_pallas_block_fetch_on_off_identical():
+    """Block-conditional gated fetch (scan over 128-lane blocks, lax.cond
+    skipping all-empty blocks) must be bit-identical to the full-width fetch —
+    on a sparse scene where many blocks ARE skipped, in both iteration
+    directions, including the lite-record path."""
+    w = scenes.random_world(n=300, seed=5)
+    lods = [w] * 6  # 16^3 scene: too small for a real 6-level chain
+    for pitch in (25.0, -60.0):
+        cam = cm.Camera(position=(8, 10, 8), pitch_deg=pitch, yaw_deg=70.0,
+                        screen=SCREEN)
+        outs = {}
+        for bf in ("on", "off"):
+            cfg = RenderConfig(width=SCREEN[0], height=SCREEN[1],
+                               chunk_steps=8, max_march_chunks=64,
+                               backend="pallas", pallas_interpret=True,
+                               occupancy_gate="on", block_fetch=bf)
+            r = Renderer.create(lods, cfg)
+            outs[bf] = r.render(cam, return_raybuffers=True)
+        s_on, (td_on, lr_on, *_) = outs["on"]
+        s_off, (td_off, lr_off, *_) = outs["off"]
+        assert np.array_equal(td_on, td_off), f"pitch {pitch}"
+        assert np.array_equal(lr_on, lr_off), f"pitch {pitch}"
+        assert np.array_equal(s_on, s_off), f"pitch {pitch}"

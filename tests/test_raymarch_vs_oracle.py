@@ -124,3 +124,27 @@ def test_mill_scene_matches():
         lods, (16.0, 18.0, -12.0), 14.0, 0.0)
     assert_buffers_equal(otd, olr, vtd, vlr, tag="mill")
     assert np.array_equal(oscreen, vscreen)
+
+
+def test_banded_resolve_matches_plain():
+    """resolve_colors_banded (band-conditional gather skip for all-sky 8-row
+    bands) must be bit-identical to resolve_colors on screens mixing all-sky
+    bands, partial bands, out-of-range (<0) pixels, and odd heights."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cpuvox_tpu.render import raymarch as rm
+
+    rng = np.random.default_rng(7)
+    colors = jnp.asarray(rng.integers(0, 2**32, size=257, dtype=np.uint64)
+                         .astype(np.uint32))
+    for h, w in ((64, 128), (37, 128), (24, 256)):
+        idx = rng.integers(1, 257, size=(h, w)).astype(np.int32)
+        idx[: h // 3] = 0                       # all-sky top third
+        idx[h // 3, : w // 2] = 0               # partial band
+        idx[h // 2, ::7] = -1                   # unwritten -> magenta
+        idx[-1, : w // 4] = -1
+        idx_j = jnp.asarray(idx)
+        plain = np.asarray(rm.resolve_colors(idx_j, colors))
+        banded = np.asarray(rm.resolve_colors_banded(idx_j, colors))
+        assert np.array_equal(plain, banded), (h, w)
