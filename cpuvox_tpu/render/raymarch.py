@@ -1206,10 +1206,17 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                  jax.lax.bitcast_convert_type(v_ids[:, :, 1], jnp.int32),
                  v_lod), dimension=0, num_keys=1, is_stable=False)
 
-            # ONE gated group per chunk: rays with more than GK gated cells
-            # REWIND to their first unprocessed cell below — the group drain
-            # was max-per-ray bound (one busy ray forced full-width fetches
-            # for everyone), the cap makes fetched slots track the cap instead
+            # Group drain policy: with the block-conditional fetch, a group's
+            # cost tracks its NONEMPTY lane blocks, so draining the whole
+            # chunk in up to C/GK groups is cheap (a busy ray's extra groups
+            # fetch only its own block) and avoids the rewind's full chunk
+            # re-roll + re-sort + re-occupancy-fetch.  Without block_fetch
+            # every extra group pays GK x Rk slots (max-per-ray bound), so
+            # the old ONE-group-per-chunk + rewind policy is kept there.
+            # Rays whose processed prefix stops anyway (lite's second deep
+            # cell) set a per-lane `stopped` flag so later groups cannot
+            # process cells out of per-ray order; the rewind below resumes
+            # them exactly at the first unprocessed cell.
 
             # lite fast path (deep-RLE worlds): fetch ADAPTIVE-tier lite rows
             # (meta + the first `lite_runs` runs, 16-bit packed — e.g. tier 24
@@ -1222,11 +1229,12 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                         and lite_runs > 0)
             LR = lite_runs
             LW = (LR + 1) // 2  # lite run words (always 16-bit packed)
+            MAXG = (C // GK) if block_fetch else 1
 
             def gcond(gc):
-                g, raybuf, state, cap = gc
+                g, raybuf, state, cap, stopped = gc
                 head = jax.lax.dynamic_slice_in_dim(kb_s, g * GK, 1, axis=0)
-                return (g < 1) & jnp.any(head < BIG)
+                return (g < MAXG) & jnp.any(head < BIG)
 
             def group_fields(ci_g, vk):
                 """Fetch + field prep for one gated group slice: (GK, RW) cell
@@ -1312,12 +1320,14 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                 return out + ((colors_k,) if MCC else ())
 
             def gbody(gc):
-                g, raybuf, state, cap = gc
+                g, raybuf, state, cap, stopped = gc
 
                 def sl(a):
                     return jax.lax.dynamic_slice_in_dim(a, g * GK, GK, axis=0)
 
-                vk = sl(kb_s) < BIG  # (GK, Rk)
+                # stopped lanes (lite prefix cap) must not process LATER cells
+                # before their first unprocessed one — masked until the rewind
+                vk = (sl(kb_s) < BIG) & (stopped == 0)[None, :]  # (GK, Rk)
                 if ablate2 == "nofetch":  # dev bisection: WRONG output
                     z = jnp.zeros((GK, Rk), jnp.int32)
                     proc = vk
@@ -1378,12 +1388,15 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                         GK, (sl(i0_s), sl(i1_s), sl(lod_s),
                              proc.astype(jnp.int32), n_runs, color_off, cmin,
                              cmax, runs_k, colors_k), raybuf, state)
-                cap = jnp.sum(proc.astype(jnp.int32), axis=0)
-                return g + 1, raybuf, state, cap
+                cap = cap + jnp.sum(proc.astype(jnp.int32), axis=0)
+                stopped = stopped | jnp.any(
+                    vk & ~proc, axis=0).astype(jnp.int32)
+                return g + 1, raybuf, state, cap, stopped
 
-            _, raybuf, state, cap = jax.lax.while_loop(
+            _, raybuf, state, cap, _ = jax.lax.while_loop(
                 gcond, gbody,
-                (jnp.int32(0), raybuf, state, jnp.zeros(Rk, jnp.int32)))
+                (jnp.int32(0), raybuf, state, jnp.zeros(Rk, jnp.int32),
+                 jnp.zeros(Rk, jnp.int32)))
 
             # rewind busy rays to their first unprocessed gated cell: the next
             # chunk re-rolls from exactly that cell (same DDA state -> same

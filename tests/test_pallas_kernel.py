@@ -126,11 +126,14 @@ def test_pallas_deep_split_layout(occupancy):
     assert np.array_equal(xlr, plr)
 
 
-def test_pallas_occupancy_rewind_matches_xla():
+@pytest.mark.parametrize("block_fetch", ["off", "on"])
+def test_pallas_occupancy_rewind_matches_xla(block_fetch):
     """chunk=32 with the gate ON on DENSE content: every ray has more gated
-    cells per chunk than the one-group cap, so the rewind path (restore the
-    pre-switch DDA state at the first unprocessed cell) runs constantly and
-    must stay bit-exact — including across LOD switches (tight lod distances)."""
+    cells per chunk than one group covers.  With block_fetch OFF the policy
+    is one group per chunk, so the rewind path (restore the pre-switch DDA
+    state at the first unprocessed cell) runs constantly; with block_fetch ON
+    the multi-group drain covers the chunk in C/GK groups.  Both must stay
+    bit-exact — including across LOD switches (tight lod distances)."""
     w0 = scenes.flat_floor_world(dims=(64, 16, 64))
     lods = rle.build_lod_chain(w0, 6)
     cam = cm.Camera(position=(32, 4, 32), pitch_deg=12.0, yaw_deg=30.0,
@@ -140,7 +143,7 @@ def test_pallas_occupancy_rewind_matches_xla():
         cfg = RenderConfig(width=SCREEN[0], height=SCREEN[1], chunk_steps=32,
                            max_march_chunks=64, backend=backend,
                            pallas_interpret=True, occupancy_gate="on",
-                           lod_error=4.0)
+                           block_fetch=block_fetch, lod_error=4.0)
         r = Renderer.create(lods, cfg)
         r.lod_distances = np.array([6, 12, 20, 32, 48, 96], np.float32)
         r.far_clip = 256.0
