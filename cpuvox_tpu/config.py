@@ -73,6 +73,11 @@ class RenderConfig:
     # valid/n_runs gating already treats as no-ops.  "auto" = on whenever the
     # occupancy gate is active.
     block_fetch: str = "auto"
+    # kernel run-block size: runs swept in registers per merged tile walk
+    # inside the Pallas rasterizer (deep-RLE worlds sweep MAXR runs in blocks
+    # of this size; bigger blocks merge more spans per walk at the cost of
+    # register pressure).  0 = auto (4, the measured round-2 sweet spot)
+    kernel_run_block: int = 0
     # per-frame ray init on the host (numpy) or on device (jnp).  Both are
     # bit-exact vs the oracle: device init pins FMA contraction (opaque-one
     # multiplies), uses correctly-rounded soft divide/sqrt (utils/ieee.py —

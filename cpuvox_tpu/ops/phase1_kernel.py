@@ -55,9 +55,9 @@ def _shift_left_one(lod):
 
 
 def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
-                 ablate=""):
+                 ablate="", rb_cap=RB_CAP):
     WMY = float(world_max_y)  # python scalar (weak-typed)
-    RB = min(MAXR, RB_CAP)
+    RB = min(MAXR, rb_cap)
     # MCC > 0: ARGB mode — the record carries the column's voxel colors
     # (alpha MSB cleared, so they stay >= 0 and the unwritten<0 sentinel holds);
     # span writes emit final colors instead of color indices
@@ -564,7 +564,7 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
                 if ABLATE == "nosweep":
                     wrote = wrote0
                     alive_i2 = alive.astype(jnp.int32)
-                elif MAXR <= RB_CAP:
+                elif MAXR <= RB:
                     # shallow worlds: single unrolled sweep + one walk per cell
                     st = sweep0
                     slots = []
@@ -610,7 +610,7 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
 @functools.partial(
     jax.jit,
     static_argnames=("C", "MAXR", "BG", "P", "iteration_direction",
-                     "world_max_y", "interpret", "MCC", "ablate"))
+                     "world_max_y", "interpret", "MCC", "ablate", "rb_cap"))
 def rasterize_chunk(
     stacked,  # (C, 8 + MAXR + MCC, G, 128) int32: the per-cell field stack
               # [ids0, ids1, lod, valid, n_runs, color_off, cmin, cmax,
@@ -621,7 +621,7 @@ def rasterize_chunk(
             #                   fdir_max, f_active, alive (int32)
     C: int, MAXR: int, BG: int, P: int, iteration_direction: int,
     world_max_y: float, interpret: bool = False, MCC: int = 0,
-    ablate: str = "",
+    ablate: str = "", rb_cap: int = RB_CAP,
 ):
     G = raybuf.shape[0]
     assert G % BG == 0, (G, BG)
@@ -633,7 +633,7 @@ def rasterize_chunk(
     grid = (G // BG, C)
 
     kern = _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y,
-                        MCC=MCC, ablate=ablate)
+                        MCC=MCC, ablate=ablate, rb_cap=rb_cap)
 
     def bs_stk():  # (C, NF, G, 128) -> (1, NF, BG, 128) per-cell slice
         return pl.BlockSpec((1, NF, BG, 128), lambda i, c: (c, 0, i, 0),

@@ -907,6 +907,7 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                   max_col_colors: int = 0, skybox_argb: int = 0xFF191919,
                   occupancy: bool = False, gated_cells: int = 0,
                   lite_runs: int = 0, block_fetch: bool = True,
+                  rb_cap: int = 4,
                   ablate_kernel: str = "", ablate_pipeline: str = ""):
     """Phase 1 with the chunk rasterizer as a Pallas TPU kernel (cpuvox_tpu.ops.
     phase1_kernel).  Same DDA roll + gathers as `phase1`; per-ray state and the
@@ -1058,7 +1059,7 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                 C=NC, MAXR=MAXR, BG=BG, P=P,
                 iteration_direction=iteration_direction,
                 world_max_y=float(world_max_y), interpret=interpret, MCC=MCC,
-                ablate=ablate_kernel)
+                ablate=ablate_kernel, rb_cap=rb_cap)
 
         def fetch(ci, valid):
             """Column-record fetch with the dead-slot SPREAD trick: dead slots
@@ -1478,7 +1479,7 @@ march_pallas_jit = jax.jit(
     static_argnames=("world_max_y", "iteration_direction", "chunk", "max_chunks",
                      "max_runs", "dims", "pixel_len", "block_groups", "interpret",
                      "max_col_colors", "skybox_argb", "occupancy",
-                     "gated_cells", "lite_runs", "block_fetch",
+                     "gated_cells", "lite_runs", "block_fetch", "rb_cap",
                      "ablate_kernel", "ablate_pipeline"))
 
 

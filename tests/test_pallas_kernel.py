@@ -270,3 +270,24 @@ def test_pallas_block_fetch_on_off_identical():
         assert np.array_equal(td_on, td_off), f"pitch {pitch}"
         assert np.array_equal(lr_on, lr_off), f"pitch {pitch}"
         assert np.array_equal(s_on, s_off), f"pitch {pitch}"
+
+
+def test_pallas_run_block_sizes_identical():
+    """kernel_run_block (runs swept per merged tile walk) is a pure perf knob:
+    4 (default) / 8 / 3 (non-dividing) must render bit-identically on a
+    deep-RLE world whose columns exceed every block size."""
+    w = scenes.random_world(n=300, seed=11)
+    lods = [w] * 6
+    cam = cm.Camera(position=(8, 10, 8), pitch_deg=30.0, yaw_deg=50.0,
+                    screen=SCREEN)
+    outs = {}
+    for rb in (4, 8, 3):
+        cfg = RenderConfig(width=SCREEN[0], height=SCREEN[1], chunk_steps=8,
+                           max_march_chunks=64, backend="pallas",
+                           pallas_interpret=True, kernel_run_block=rb,
+                           occupancy_gate="on")
+        r = Renderer.create(lods, cfg)
+        assert r.device_world.max_runs > 8  # deep enough to exercise blocks
+        outs[rb] = r.render(cam)
+    assert np.array_equal(outs[4], outs[8])
+    assert np.array_equal(outs[4], outs[3])
