@@ -64,6 +64,46 @@ far = cam_data.far_clip
 max_chunks = (3 * max(dims)) // C + 8
 
 
+# per-tile nonemptiness + a synthetic supertile (8x8 tiles) emptiness map,
+# to size a level-2 occupancy gate: tile-row fetches whose supertile is all
+# empty could be skipped entirely
+occ_np = np.asarray(wa.occ_tiles)
+tile_nonempty = (occ_np[:, :4] != 0).any(axis=1)
+tb = np.asarray(wa.tile_base)
+tgz = np.asarray(wa.tile_gz)
+super_of_tile = np.zeros(occ_np.shape[0], np.int64)
+super_nonempty_l = []
+sbase = [0] * 9
+for L in range(8):
+    gx_t = max(1, (dims[0] >> L) // 16)
+    gz_t = max(1, (dims[2] >> L) // 8)
+    n_t = gx_t * gz_t
+    if tb[L] + n_t > occ_np.shape[0] and L > 0:
+        n_t = 0
+    sgx, sgz = (gx_t + 7) // 8, (gz_t + 7) // 8
+    sbase[L + 1] = sbase[L] + sgx * sgz
+    if n_t:
+        t = np.arange(n_t)
+        tx, tz = t // gz_t, t % gz_t
+        sid = sbase[L] + (tx // 8) * sgz + (tz // 8)
+        super_of_tile[tb[L]: tb[L] + n_t] = sid
+        ne = np.zeros(sbase[L + 1] - sbase[L], bool)
+        np.add.at(ne, sid - sbase[L], tile_nonempty[tb[L]: tb[L] + n_t])
+        # np.add.at on bool ORs via add; rebuild properly:
+        ne = np.zeros(sbase[L + 1] - sbase[L], np.int64)
+        np.add.at(ne, sid - sbase[L],
+                  tile_nonempty[tb[L]: tb[L] + n_t].astype(np.int64))
+        super_nonempty_l.append(ne > 0)
+    else:
+        super_nonempty_l.append(np.zeros(sbase[L + 1] - sbase[L], bool))
+super_nonempty = np.concatenate(super_nonempty_l) if super_nonempty_l else \
+    np.zeros(1, bool)
+tile_live = np.zeros(occ_np.shape[0], bool)
+nz = np.arange(occ_np.shape[0])
+tile_live = super_nonempty[super_of_tile[nz]]
+tile_live_j = jnp.asarray(tile_live)
+
+
 @jax.jit
 def one_chunk(static, dda, march_alive):
     dda, march_alive, visits = rm._roll_chunk(
@@ -78,7 +118,19 @@ def one_chunk(static, dda, march_alive):
     rec0 = wa.rec_fwd[ci_c.ravel(), 0].reshape(ci.shape)
     gated = v_valid & (jnp.where(v_valid, rec0, 0) > 0)
     cnt = gated.astype(jnp.int32).sum(0)  # per-lane gated count (R,)
-    return dda, march_alive, cnt, march_alive.astype(jnp.int32)
+    # distinct-tile crossings (the stage-A tile-row fetch rows) and how many
+    # lie in nonempty supertiles (a level-2 gate would fetch only those)
+    ti = (rm._small_lut(wa.tile_base, lodc, 8)
+          + (xc >> 4) * rm._small_lut(wa.tile_gz, lodc, 8) + (zc >> 3))
+    ti_c = jnp.clip(jnp.where(v_valid, ti, -1), -1, wa.occ_tiles.shape[0] - 1)
+    new = jnp.concatenate(
+        [jnp.ones((1, ti.shape[1]), bool), ti_c[1:] != ti_c[:-1]], axis=0)
+    crossing = v_valid & new
+    n_cross = crossing.astype(jnp.int32).sum()
+    live = tile_live_j[jnp.clip(ti_c, 0, None)]
+    n_cross_live = (crossing & live).astype(jnp.int32).sum()
+    return (dda, march_alive, cnt, march_alive.astype(jnp.int32),
+            n_cross, n_cross_live)
 
 
 march_alive = alive0
@@ -87,9 +139,14 @@ tot_slots_blk = 0      # block-cond: GK x 128 x blocks-with-any-gated-cell
 tot_slots_blk2 = 0     # block-cond on a COMPACTED-alive prefix layout
 tot_gated = 0
 tot_lane_hist = np.zeros(GK + 2, np.int64)  # per-lane count histogram (capped)
+tot_cross = 0
+tot_cross_live = 0
 chunks = 0
 for i in range(max_chunks):
-    dda, march_alive, cnt, alive_i = one_chunk(static, dda, march_alive)
+    (dda, march_alive, cnt, alive_i,
+     n_cross, n_cross_live) = one_chunk(static, dda, march_alive)
+    tot_cross += int(n_cross)
+    tot_cross_live += int(n_cross_live)
     cnt = np.asarray(cnt)
     alive_np = np.asarray(alive_i).astype(bool)
     n_alive = int(alive_np.sum())
@@ -127,6 +184,10 @@ print(f"slots, block-cond (orig order): {tot_slots_blk:>12,} "
       f"(util {tot_gated / max(tot_slots_blk,1):.1%})")
 print(f"slots, block-cond (compacted):  {tot_slots_blk2:>12,} "
       f"(util {tot_gated / max(tot_slots_blk2,1):.1%})")
+print(f"tile crossings (stage-A rows):  {tot_cross:>12,}")
+print(f"  in nonempty 8x8 supertiles:   {tot_cross_live:>12,} "
+      f"({tot_cross_live / max(tot_cross,1):.1%} — a level-2 gate fetches "
+      f"only these)")
 print("per-lane gated-count histogram over (alive lane, chunk) pairs:")
 tot_pairs = tot_lane_hist.sum()
 for k in range(GK + 2):
