@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -12,7 +11,8 @@ from cpuvox_tpu.config import RenderConfig
 from cpuvox_tpu.render import camera as cm
 from cpuvox_tpu.render.frame import Renderer
 from cpuvox_tpu.world.dynamic import (SurfaceWorldSpec, animate_heights,
-                                      build_surface_world_arrays, terrain_colors)
+                                      build_surface_world_arrays,
+                                      surface_renderer, terrain_colors)
 
 F = np.float32
 
@@ -43,13 +43,8 @@ class DynamicTerrain:
         config = config or RenderConfig(width=640, height=360)
         # bootstrap a Renderer whose static world arrays have the same shapes
         top0 = jnp.asarray(base_top, jnp.int32)
-        wa0 = build_surface_world_arrays(spec, top0, terrain_colors(spec, top0))
-        renderer = Renderer.__new__(Renderer)
-        renderer.device_world = _FakeDeviceWorld(dims, 3, wa0)
-        renderer.config = config
-        renderer.lod_distances = None
-        renderer.far_clip = 0.0
-        renderer._wa = wa0
+        renderer = surface_renderer(spec, top0, terrain_colors(spec, top0),
+                                    config)
         return cls(spec=spec, renderer=renderer, base_top=top0)
 
     def render_frame(self, t: float, cam: cm.Camera):
@@ -61,16 +56,3 @@ class DynamicTerrain:
         return screen
 
 
-@dataclasses.dataclass
-class _FakeDeviceWorld:
-    """Just enough DeviceWorld surface for Renderer (dims + max_runs + colors)."""
-
-    dims: tuple[int, int, int]
-    max_runs: int
-    _wa: object
-    max_col_colors: int = 0  # dynamic worlds use the split layout (index mode)
-    lite_runs: int = 0  # dynamic worlds never build lite records
-
-    @property
-    def colors(self):
-        return self._wa.colors

@@ -86,3 +86,87 @@ def test_set_voxel_column_matches_rebuilt_world():
     # and the edit actually changed pixels vs the original
     s_orig = _editable_renderer(w, spec, ew).render(cam)
     assert np.any(s_edited != s_orig)
+
+
+# ------------------------- deferred exact LOD chain rebuild (editable worlds)
+
+def test_editable_chain_matches_static_chain():
+    """editable_chain_snapshot must be dense-identical to rle.build_lod_chain
+    at EVERY level (occupancy AND flat-averaged colors)."""
+    from test_dynamic import _dense_from_surface_level, _dense_from_worldlod
+
+    from cpuvox_tpu.world.dynamic import editable_chain_snapshot
+
+    w = scenes.random_world(dims=DIMS, n=250, seed=3)
+    chain = rle.build_lod_chain(w, lod_levels=3)
+    spec, ew = editable_from_lod0(w)
+    wa, K = editable_chain_snapshot(spec, ew, lod_levels=3)
+    for lvl in range(3):
+        occ_s, col_s = _dense_from_worldlod(chain[lvl])
+        occ_d, col_d = _dense_from_surface_level(wa, DIMS, lvl)
+        np.testing.assert_array_equal(occ_s, occ_d, err_msg=f"lvl {lvl}")
+        np.testing.assert_array_equal(col_s[occ_s], col_d[occ_d],
+                                      err_msg=f"lvl {lvl}")
+
+
+def test_editable_chain_render_matches_static():
+    """End-to-end: the chain snapshot renders pixel-identical to the static
+    builder's chain with LOD1/LOD2 engaged over most of the view."""
+    from cpuvox_tpu.world.dynamic import editable_chain_renderer
+
+    w = scenes.random_world(dims=DIMS, n=250, seed=7)
+    chain = rle.build_lod_chain(w, lod_levels=3)
+    spec, ew = editable_from_lod0(w)
+
+    cfg = RenderConfig(width=64, height=48, chunk_steps=8,
+                       max_march_chunks=32, lod_levels=3)
+    lod_distances = np.array([3.0, 6.0, 1e6], np.float32)
+    far = float(3 * max(DIMS))
+
+    r_static = Renderer.create(chain, cfg)
+    r_static.lod_distances, r_static.far_clip = lod_distances, far
+    r_chain = editable_chain_renderer(spec, ew, cfg, lod_levels=3)
+    r_chain.lod_distances, r_chain.far_clip = lod_distances.copy(), far
+
+    for cam in (cm.Camera(position=(8, 10, 2), pitch_deg=25.0, yaw_deg=30.0),
+                cm.Camera(position=(8, 4, 8), pitch_deg=-20.0,
+                          yaw_deg=190.0)):
+        np.testing.assert_array_equal(
+            np.asarray(r_static.render(cam)), np.asarray(r_chain.render(cam)))
+
+
+def test_edit_then_chain_rebuild_matches_static_downsample():
+    """set_voxel_column followed by a chain rebuild equals the static chain of
+    the edited content (the deferred-rebuild model's correctness contract)."""
+    from test_dynamic import _dense_from_surface_level, _dense_from_worldlod
+
+    from cpuvox_tpu.world.dynamic import (_expand_lod0,
+                                          editable_chain_snapshot)
+
+    w = scenes.flat_floor_world(dims=DIMS)
+    spec, ew = editable_from_lod0(w, max_runs=6, col_colors=8)
+    occ = np.zeros(DIMS[1], bool)
+    occ[[0, 3, 4, 5, 8]] = True
+    argb = np.zeros(DIMS[1], np.uint32)
+    argb[occ] = np.asarray(
+        [0xFF11AA33, 0xFFCC2222, 0xFFCC3322, 0xFFCC4422, 0xFF2233EE],
+        np.uint32)
+    ew2 = set_voxel_column(spec, ew, jnp.int32(8), jnp.int32(8),
+                           jnp.asarray(occ), jnp.asarray(argb))
+    wa, _ = editable_chain_snapshot(spec, ew2, lod_levels=2)
+
+    cols0, ys0, argb0 = _expand_lod0(w)
+    keep = cols0 != (8 * DIMS[2] + 8)
+    ys_new = np.nonzero(occ)[0]
+    xz = np.concatenate([cols0[keep], np.full(ys_new.size, 8 * DIMS[2] + 8)])
+    ys = np.concatenate([ys0[keep], ys_new])
+    cc = np.concatenate([argb0[keep], argb[occ]])
+    rgb = (((cc >> 16) & 0xFF).astype(np.uint8),
+           ((cc >> 8) & 0xFF).astype(np.uint8), (cc & 0xFF).astype(np.uint8))
+    w2 = rle.build_lod_from_voxels(DIMS, 0, xz, ys, rgb)
+    static_lod1 = rle.downsample(w2, 1)
+
+    occ_s, col_s = _dense_from_worldlod(static_lod1)
+    occ_d, col_d = _dense_from_surface_level(wa, DIMS, 1)
+    np.testing.assert_array_equal(occ_s, occ_d)
+    np.testing.assert_array_equal(col_s[occ_s], col_d[occ_d])
