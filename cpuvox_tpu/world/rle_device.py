@@ -152,11 +152,18 @@ def _level_fn():
 
 
 def _fetch(dev_arr, n):
-    """Device -> host of the first n rows, sliced at a pow2 bucket so each
-    distinct count doesn't compile a fresh slice program."""
+    """Device -> host of the first n rows, sliced at a bucket size so each
+    distinct count doesn't compile a fresh slice program.  Buckets are powers
+    of two, plus 1.5x-pow2 midpoints above 4M rows: the tunnel moves
+    ~22-33 MB/s device->host (PERF_NOTES #10), so on the multi-MB LOD0 tables
+    the up-to-2x pow2 overshoot costs seconds while one extra slice
+    executable costs a one-time cached load."""
     if n == 0:
         return np.asarray(dev_arr[:1])[:0]
-    k = min(1 << int(np.ceil(np.log2(max(n, 2)))), dev_arr.shape[0])
+    k = 1 << int(np.ceil(np.log2(max(n, 2))))
+    if n > (1 << 22) and (k // 2) * 3 // 2 >= n:
+        k = (k // 2) * 3 // 2
+    k = min(k, dev_arr.shape[0])
     return np.asarray(dev_arr[:k])[:n]
 
 
@@ -212,7 +219,7 @@ def build_lod_chain_device(xz, y, rgbp, valid, dims,
     ydim = jnp.int32(dims[1])
     zdim = jnp.int32(dims[2])
     out0 = level(x_raw, z_raw, y, rgbp, valid, jnp.int32(0), ydim, zdim, N=N)
-    lods = [_to_world_lod(out0, dims, 0)]
+    outs = [out0]
 
     # LOD-L soup = LOD0's deduped voxels, coordinates collapsed by >> L
     # (rle._expand_soup reproduces exactly these, in this order)
@@ -224,6 +231,9 @@ def build_lod_chain_device(xz, y, rgbp, valid, dims,
     rgb_d = (((c >> 16) & 0xFF) | (((c >> 8) & 0xFF) << 8)
              | ((c & 0xFF) << 16)).astype(jnp.int32)
     for L in range(1, lod_levels):
-        outl = level(x0, z0, y_d, rgb_d, dval, jnp.int32(L), ydim, zdim, N=N)
-        lods.append(_to_world_lod(outl, dims, L))
-    return lods
+        outs.append(level(x0, z0, y_d, rgb_d, dval, jnp.int32(L), ydim, zdim,
+                          N=N))
+    # dispatch ALL levels before fetching ANY table: transfers wait only on
+    # their own buffer (not the queue), so the big tunnel-bound LOD0 fetch
+    # overlaps the LOD1+ compute instead of serializing ahead of it
+    return [_to_world_lod(o, dims, L) for L, o in enumerate(outs)]
