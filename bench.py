@@ -20,34 +20,46 @@ def log(*a):
 
 
 def wait_for_device(max_wait_s: float = 900.0, probe_timeout_s: float = 90.0):
-    """Block until the TPU backend initializes, retrying through tunnel
-    outages (this environment's tunneled TPU disappears for stretches —
-    PERF_NOTES caveat; a bench run that starts during an outage should wait it
-    out, not hang forever or crash without a record).  Probes in a subprocess
-    because a hung PJRT init cannot be cancelled in-process."""
+    """Block until the TPU backend is HEALTHY, retrying through tunnel
+    outages (this environment's tunneled TPU disappears — or degrades ~1000x:
+    `jax.devices()` can succeed while a scalar fetch takes 37 s — PERF_NOTES
+    caveat; a bench run that starts during such a stretch should wait it out,
+    not record a garbage number).  Health = a jit+fetch round trip under 3 s,
+    probed in a subprocess because a hung PJRT init cannot be cancelled
+    in-process.  Gives up (and proceeds, logging the degradation) after
+    max_wait_s so an endless outage still yields SOME record."""
     import subprocess
 
+    probe = ("import time,jax,jax.numpy as jnp,numpy as np;"
+             "t0=time.time();x=jnp.ones((256,256));"
+             "v=np.asarray((x@x).sum());print('RT %.2f'%(time.time()-t0))")
     t0 = time.time()
     attempt = 0
     while True:
         attempt += 1
+        rt = None
         try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; print(len(jax.devices()))"],
-                timeout=probe_timeout_s, capture_output=True)
-            if r.returncode == 0:
-                if attempt > 1:
-                    log(f"device back after {time.time() - t0:.0f}s "
-                        f"({attempt} probes)")
-                return True
+            r = subprocess.run([sys.executable, "-c", probe],
+                               timeout=probe_timeout_s, capture_output=True,
+                               text=True)
+            for line in (r.stdout or "").splitlines():
+                if line.startswith("RT "):
+                    rt = float(line.split()[1])
         except subprocess.TimeoutExpired:
             pass
+        if rt is not None and rt < 3.0:
+            if attempt > 1:
+                log(f"device healthy after {time.time() - t0:.0f}s "
+                    f"({attempt} probes, round-trip {rt:.2f}s)")
+            return True
         waited = time.time() - t0
         if waited >= max_wait_s:
-            log(f"device unavailable after {waited:.0f}s; giving up")
+            log(f"device not healthy after {waited:.0f}s (last round-trip "
+                f"{rt}); proceeding anyway — treat this run's numbers as "
+                f"tunnel-degraded")
             return False
-        log(f"device probe {attempt} failed ({waited:.0f}s elapsed); retrying")
+        log(f"device probe {attempt}: round-trip {rt} ({waited:.0f}s "
+            f"elapsed); retrying")
         time.sleep(30)
 
 

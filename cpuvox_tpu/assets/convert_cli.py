@@ -48,6 +48,10 @@ def main(argv=None):
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--host", action="store_true",
                     help="use the numpy voxelizer instead of the device one")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the device pipeline to the JAX CPU backend "
+                         "(this environment's sitecustomize overrides "
+                         "JAX_PLATFORMS, so an env var is not enough)")
     ap.add_argument("--repeat", action="store_true",
                     help="convert twice and report both wall times: the first "
                          "pays this environment's per-process remote-executable "
@@ -58,6 +62,8 @@ def main(argv=None):
     if not a.host:
         import jax
 
+        if a.cpu:
+            jax.config.update("jax_platforms", "cpu")
         if not jax.config.jax_enable_x64:
             jax.config.update("jax_enable_x64", True)
         from cpuvox_tpu.utils.jaxcache import enable_persistent_cache
