@@ -35,7 +35,9 @@ def healthy(timeout=120):
             if line.startswith("RT "):
                 rt = float(line.split()[1])
                 log(f"probe round-trip {rt:.2f}s")
-                return rt < 2.0
+                # 10 s: loose enough to start PAIRED A/Bs (tunnel drift hits
+                # both sides equally); bench.py self-gates at 3 s on top
+                return rt < 10.0
     except subprocess.TimeoutExpired:
         log("probe timed out")
     return False
