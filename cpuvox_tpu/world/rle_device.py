@@ -140,10 +140,14 @@ def _level_fn():
         cmin_p = jnp.where(cval, cbot_p * vs, 0)
         cmax_p = jnp.where(cval, (ctop_p + 1) * vs, 0)
         # ONE per-column table so the host fetches it with a single sliced
-        # transfer (each distinct slice program is another executable load)
+        # transfer (each distinct slice program is another executable load).
+        # Only 3 words/column cross the ~25 MB/s tunnel: [occ, runs|cmin<<16,
+        # cmax] — col_offset is the cumsum of runs_per_col over the packed
+        # occupied list and col_color_offset the per-column cumsum of solid
+        # run lengths, both O(n) host numpy (_to_world_lod); runs_per_col and
+        # cmin are < 2^16 for any y_dim <= 65535 (asserted by the caller)
         tab_col = jnp.stack(
-            [occ_p, runs_per_col_p, col_off_p, first_vox_p, cmin_p, cmax_p],
-            axis=1)
+            [occ_p, runs_per_col_p | (cmin_p << 16), cmax_p], axis=1)
         return dict(colors=colors, xz_d=xz_d, y_d=y_d,
                     runs3=runs3, tab_col=tab_col,
                     n_dedupe=n_dedupe, n_runs_total=total_runs, n_occ=n_occ)
@@ -184,11 +188,20 @@ def _to_world_lod(out, dims, lod) -> WorldLOD:
     col_max = z0.copy()
     if n_occ:
         occ = tab[:, 0].astype(np.int64)
-        col_runs[occ] = tab[:, 1]
-        col_offset[occ] = tab[:, 2]
-        col_coloroff[occ] = tab[:, 3]
-        col_min[occ] = tab[:, 4]
-        col_max[occ] = tab[:, 5]
+        w1 = tab[:, 1].astype(np.int64) & 0xFFFFFFFF  # uint32 bits
+        runs_p = (w1 & 0xFFFF).astype(np.int32)
+        col_runs[occ] = runs_p
+        # col_offset = exclusive cumsum of runs_per_col over the packed
+        # occupied list (the device shipped only 3 words/col — see level())
+        off_p = np.cumsum(runs_p.astype(np.int64)) - runs_p
+        col_offset[occ] = off_p.astype(np.int32)
+        # col_color_offset = exclusive per-column cumsum of solid run lengths
+        solid = np.where(runs >= 0, runs & 0xFFFF, 0).astype(np.int64)
+        per_col = np.add.reduceat(solid, off_p) if n_runs else \
+            np.zeros(n_occ, np.int64)
+        col_coloroff[occ] = (np.cumsum(per_col) - per_col).astype(np.int32)
+        col_min[occ] = (w1 >> 16).astype(np.int32)
+        col_max[occ] = tab[:, 2]
     return WorldLOD(tuple(dims), lod, col_offset, col_runs, col_coloroff,
                     col_min, col_max, runs, colors)
 
@@ -205,6 +218,9 @@ def build_lod_chain_device(xz, y, rgbp, valid, dims,
 
     if not jax.config.jax_enable_x64:
         raise RuntimeError("build_lod_chain_device requires jax_enable_x64")
+    if int(dims[1]) > 65535:
+        raise ValueError("tab_col packing needs y_dim <= 65535 "
+                         f"(got {dims[1]})")
     level = _level_fn()
     xz = jnp.asarray(xz, jnp.int32)
     y = jnp.asarray(y, jnp.int32)
@@ -230,10 +246,24 @@ def build_lod_chain_device(xz, y, rgbp, valid, dims,
     c = colors0.astype(jnp.uint32)
     rgb_d = (((c >> 16) & 0xFF) | (((c >> 8) & 0xFF) << 8)
              | ((c & 0xFF) << 16)).astype(jnp.int32)
-    for L in range(1, lod_levels):
-        outs.append(level(x0, z0, y_d, rgb_d, dval, jnp.int32(L), ydim, zdim,
+    if lod_levels > 1:
+        outs.append(level(x0, z0, y_d, rgb_d, dval, jnp.int32(1), ydim, zdim,
                           N=N))
-    # dispatch ALL levels before fetching ANY table: transfers wait only on
-    # their own buffer (not the queue), so the big tunnel-bound LOD0 fetch
-    # overlaps the LOD1+ compute instead of serializing ahead of it
-    return [_to_world_lod(o, dims, L) for L, o in enumerate(outs)]
+    # Depth-2 dispatch window (ADVICE r3): dispatching every level before any
+    # fetch maximized overlap but kept all levels' padded outputs (~48N bytes
+    # each) live on device at once — ~3x the round-2 peak, an OOM risk on
+    # large soups.  A window of two keeps the overlap that matters (the big
+    # tunnel-bound LOD0 fetch still runs while LOD1 computes, and each later
+    # level's compute overlaps the previous level's fetch) while capping the
+    # device-resident peak at ~2 level outputs + the shared deduped soup.
+    worlds = []
+    for L in range(lod_levels):
+        o = outs[L]
+        outs[L] = None  # drop the reference before the blocking fetch
+        worlds.append(_to_world_lod(o, dims, L))
+        del o
+        nxt = L + 2
+        if 1 <= nxt < lod_levels:
+            outs.append(level(x0, z0, y_d, rgb_d, dval, jnp.int32(nxt), ydim,
+                              zdim, N=N))
+    return worlds

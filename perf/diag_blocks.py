@@ -133,10 +133,29 @@ def one_chunk(static, dda, march_alive):
             n_cross, n_cross_live)
 
 
+def drain_slots(cnt_vec, max_groups):
+    """Fetch slots for the MULTI-GROUP drain (raymarch gbody, block_fetch on):
+    group g fetches GK x 128 for every 128-lane block containing a ray with
+    more than g*GK gated cells; rays beyond max_groups*GK rewind (ignored
+    here — same cells re-counted next chunk, a wash across orders)."""
+    nb = (len(cnt_vec) + 127) // 128
+    pad = np.zeros(nb * 128, cnt_vec.dtype)
+    pad[: len(cnt_vec)] = cnt_vec
+    blk_max = pad.reshape(nb, 128).max(1)
+    slots = 0
+    for g in range(max_groups):
+        slots += GK * 128 * int((blk_max > g * GK).sum())
+    return slots
+
+
 march_alive = alive0
 tot_slots_cur = 0      # current scheme: GK x (alive rounded to 1024)
 tot_slots_blk = 0      # block-cond: GK x 128 x blocks-with-any-gated-cell
 tot_slots_blk2 = 0     # block-cond on a COMPACTED-alive prefix layout
+tot_drain_orig = 0     # multi-group drain slots, original stage-0 order
+tot_drain_comp = 0     # ... alive-compacted prefix order
+tot_drain_sort = 0     # ... per-chunk DESCENDING-count sorted (the candidate
+#                        busy-sort lever: near-dense at block granularity)
 tot_gated = 0
 tot_lane_hist = np.zeros(GK + 2, np.int64)  # per-lane count histogram (capped)
 tot_cross = 0
@@ -169,6 +188,10 @@ for i in range(max_chunks):
     pad[: len(cnt_c)] = cnt_c
     nonempty2 = (pad.reshape(nb2, 128).sum(1) > 0).sum()
     tot_slots_blk2 += GK * 128 * int(nonempty2)
+    maxg = C // GK
+    tot_drain_orig += drain_slots(cnt, maxg)
+    tot_drain_comp += drain_slots(cnt_c, maxg)
+    tot_drain_sort += drain_slots(np.sort(cnt_c)[::-1], maxg)
     hist = np.bincount(np.minimum(cnt[alive_np], GK + 1),
                        minlength=GK + 2)
     tot_lane_hist[: len(hist)] += hist
@@ -184,6 +207,13 @@ print(f"slots, block-cond (orig order): {tot_slots_blk:>12,} "
       f"(util {tot_gated / max(tot_slots_blk,1):.1%})")
 print(f"slots, block-cond (compacted):  {tot_slots_blk2:>12,} "
       f"(util {tot_gated / max(tot_slots_blk2,1):.1%})")
+print(f"drain slots (multi-group, orig):{tot_drain_orig:>12,} "
+      f"(util {tot_gated / max(tot_drain_orig,1):.1%})")
+print(f"drain slots (compacted):        {tot_drain_comp:>12,} "
+      f"(util {tot_gated / max(tot_drain_comp,1):.1%})")
+print(f"drain slots (count-sorted):     {tot_drain_sort:>12,} "
+      f"(util {tot_gated / max(tot_drain_sort,1):.1%} — the per-chunk "
+      f"busy-sort lever's ceiling)")
 print(f"tile crossings (stage-A rows):  {tot_cross:>12,}")
 print(f"  in nonempty 8x8 supertiles:   {tot_cross_live:>12,} "
       f"({tot_cross_live / max(tot_cross,1):.1%} — a level-2 gate fetches "
