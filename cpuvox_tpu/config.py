@@ -67,12 +67,23 @@ class RenderConfig:
     # block-conditional gated fetch ("auto" | "on" | "off"): on the gated
     # path, run the per-group record fetch as a scan over 128-lane ray blocks
     # and SKIP the gather for blocks with zero gated cells this group
-    # (lax.cond) — the fetch otherwise pays GK x Rk gather slots at ~22% slot
-    # utilization on mill-class content (PERF_NOTES #15).  Output-exact by
-    # construction: skipped blocks produce zeros, which the kernel's
-    # valid/n_runs gating already treats as no-ops.  "auto" = on whenever the
-    # occupancy gate is active.
+    # (lax.cond).  Slot modeling said win (78.7% utilization vs 22%,
+    # PERF_NOTES #24) but the PAIRED on-TPU A/B says LOSE: +456 ms p50 on
+    # mill1024 (0-8 wins, perf/queue_out r4) — the per-block lax.cond launch
+    # overhead (~72 blocks x 8 groups x chunk) swamps the slot savings.
+    # "auto" therefore resolves to OFF; the lever stays for future
+    # hardware/content.
     block_fetch: str = "auto"
+    # adaptive lite records ("auto" | "off"): on the gated path, fetch the
+    # narrow lite row (meta + first `tier` runs) instead of the full record
+    # for cells that fit the tier (device.py _pick_lite_tier).  DEFAULT OFF:
+    # round-4 on-TPU triage found the lite path diverges from the XLA
+    # reference at mill scale (~5000 px at 1080p; lite tables + unpack proved
+    # bit-exact — the bug is in the group/stop/rewind orchestration, see
+    # perf/triage_lite_fetch.py) while every lite=off variant is 0-px exact.
+    # Flip to "auto" only after the divergence is fixed AND a paired A/B
+    # shows a win.
+    lite_records: str = "off"
     # kernel run-block size: runs swept in registers per merged tile walk
     # inside the Pallas rasterizer (deep-RLE worlds sweep MAXR runs in blocks
     # of this size; bigger blocks merge more spans per walk at the cost of

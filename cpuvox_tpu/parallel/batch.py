@@ -168,7 +168,7 @@ def render_camera_batch(renderer, cams: list[cm.Camera], rmesh=None):
             pixel_len=max(W, H), width=W, height=H, R1=R1,
             occupancy=renderer.occupancy_on,
             gated_cells=cfg.gated_group_cells,
-            lite_runs=renderer.device_world.lite_runs)
+            lite_runs=renderer.lite_runs_resolved)
         args = (renderer._wa, fp_b, tb["tri_a"], tb["tri_b"], tb["tri_c"],
                 tb["ray_count"], tb["ray_base"], tb["active"])
         if rmesh is None:

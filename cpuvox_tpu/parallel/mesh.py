@@ -213,7 +213,7 @@ def render_frame_sharded(renderer, cam, rmesh: RenderMesh):
         max_col_colors=renderer.device_world.max_col_colors,
         skybox_argb=int(pack_argb(*cfg.skybox_rgb)),
         occupancy=renderer.occupancy_on,
-        lite_runs=renderer.device_world.lite_runs,
+        lite_runs=renderer.lite_runs_resolved,
         block_fetch=renderer.block_fetch_on,
         rb_cap=cfg.kernel_run_block or 4)
 

@@ -137,15 +137,20 @@ class Renderer:
         return getattr(dw, "empty_frac", 0.0) >= 0.5
 
     @property
+    def lite_runs_resolved(self) -> int:
+        """Adaptive lite tier, or 0 when disabled (RenderConfig.lite_records)."""
+        if getattr(self.config, "lite_records", "auto") == "off":
+            return 0
+        return self.device_world.lite_runs
+
+    @property
     def block_fetch_on(self) -> bool:
-        """Resolve the block-conditional-fetch policy ("auto" = whenever the
-        occupancy gate is active; see RenderConfig.block_fetch)."""
+        """Resolve the block-conditional-fetch policy.  "auto" resolves to
+        OFF: the paired on-TPU A/B measured the block-conditional scan +456 ms
+        p50 on mill1024 (cond-launch overhead swamps the slot savings — see
+        RenderConfig.block_fetch)."""
         mode = getattr(self.config, "block_fetch", "auto")
-        if mode == "on":
-            return True
-        if mode == "off":
-            return False
-        return self.occupancy_on
+        return mode == "on"
 
     @property
     def march_params(self) -> tuple[int, int]:
@@ -236,7 +241,7 @@ class Renderer:
             skybox_argb=int(pack_argb(*cfg.skybox_rgb)),
             occupancy=self.occupancy_on,
             gated_cells=cfg.gated_group_cells,
-            lite_runs=self.device_world.lite_runs,
+            lite_runs=self.lite_runs_resolved,
             block_fetch=self.block_fetch_on,
             rb_cap=cfg.kernel_run_block or 4)
         return screen, argb, (segs, ctxs, vp_screen, cam_data, cam)

@@ -58,9 +58,10 @@ def test_batch_gated_lite_matches_individual():
     lods = sc.deep_tower_world()
     cfg = RenderConfig(width=64, height=48, chunk_steps=32,
                        max_march_chunks=64, backend="pallas",
-                       pallas_interpret=True, occupancy_gate="on")
+                       pallas_interpret=True, occupancy_gate="on",
+                       lite_records="auto")
     r = Renderer.create(lods, cfg)
-    assert r.occupancy_on and r.device_world.lite_runs > 0
+    assert r.occupancy_on and r.lite_runs_resolved > 0
     cams = [
         cm.Camera(position=(32, 40, 32), pitch_deg=20.0, yaw_deg=35.0),
         cm.Camera(position=(20, 30, 44), pitch_deg=-15.0, yaw_deg=220.0),

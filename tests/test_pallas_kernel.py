@@ -197,12 +197,13 @@ def test_pallas_occupancy_lite_records_matches_xla():
             cfg = RenderConfig(width=SCREEN[0], height=SCREEN[1],
                                chunk_steps=32, max_march_chunks=64,
                                backend=backend, pallas_interpret=True,
-                               occupancy_gate="on")
+                               occupancy_gate="on", lite_records="auto")
             r = Renderer.create(lods, cfg)
             if backend == "pallas":
                 dw = r.device_world
                 assert dw.lite_fwd is not None and 0 < dw.lite_runs < mr, \
                     (dw.lite_runs, mr)
+                assert r.lite_runs_resolved == dw.lite_runs
             outs[backend] = r.render(cam, return_raybuffers=True)
         xs, (xtd, xlr, *_) = outs["xla"]
         ps, (ptd, plr, *_) = outs["pallas"]
@@ -262,7 +263,8 @@ def test_pallas_block_fetch_on_off_identical():
             cfg = RenderConfig(width=SCREEN[0], height=SCREEN[1],
                                chunk_steps=8, max_march_chunks=64,
                                backend="pallas", pallas_interpret=True,
-                               occupancy_gate="on", block_fetch=bf)
+                               occupancy_gate="on", block_fetch=bf,
+                               lite_records="auto")
             r = Renderer.create(lods, cfg)
             outs[bf] = r.render(cam, return_raybuffers=True)
         s_on, (td_on, lr_on, *_) = outs["on"]

@@ -134,7 +134,7 @@ def test_sharded_gated_lite_pallas_matches_replicated():
 
     lods = scenes.deep_tower_world()
     cfg = _cfg(backend="pallas", pallas_interpret=True, occupancy_gate="on",
-               chunk_steps=32, max_march_chunks=64)
+               chunk_steps=32, max_march_chunks=64, lite_records="auto")
     plain = Renderer.create(lods, cfg)
     sr = ShardedRenderer(lods, _mesh(), cfg, tile_cols=16)
     assert sr.sw.owned_occ is not None
