@@ -84,6 +84,11 @@ class RenderConfig:
     # Flip to "auto" only after the divergence is fixed AND a paired A/B
     # shows a win.
     lite_records: str = "off"
+    # gated-chunk drain groups: how many GK-cell groups drain a chunk before
+    # the busy-ray rewind takes over (0 = auto: all C/GK groups when
+    # block_fetch is on, else one group + rewind).  Explicit values A/B the
+    # multi-group drain WITHOUT the per-block conds (PERF_NOTES 25)
+    drain_groups: int = 0
     # kernel run-block size: runs swept in registers per merged tile walk
     # inside the Pallas rasterizer (deep-RLE worlds sweep MAXR runs in blocks
     # of this size; bigger blocks merge more spans per walk at the cost of

@@ -215,7 +215,8 @@ def render_frame_sharded(renderer, cam, rmesh: RenderMesh):
         occupancy=renderer.occupancy_on,
         lite_runs=renderer.lite_runs_resolved,
         block_fetch=renderer.block_fetch_on,
-        rb_cap=cfg.kernel_run_block or 4)
+        rb_cap=cfg.kernel_run_block or 4,
+        drain_groups=getattr(cfg, "drain_groups", 0))
 
     wa = renderer._wa
     wa_specs = jax.tree_util.tree_map(lambda _: P(), wa)

@@ -34,13 +34,15 @@ F = np.float32
                      "max_chunks", "max_runs", "dims", "pixel_len", "width",
                      "height", "R", "out_width", "out_height",
                      "max_col_colors", "skybox_argb", "occupancy",
-                     "gated_cells", "lite_runs", "block_fetch", "rb_cap"))
+                     "gated_cells", "lite_runs", "block_fetch", "rb_cap",
+                     "drain_groups"))
 def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
               backend, interpret, iteration_direction, chunk, max_chunks,
               max_runs, dims, pixel_len, width, height, R,
               out_width=None, out_height=None, init=None,
               max_col_colors=0, skybox_argb=0xFF191919, occupancy=False,
-              gated_cells=0, lite_runs=0, block_fetch=True, rb_cap=4):
+              gated_cells=0, lite_runs=0, block_fetch=True, rb_cap=4,
+              drain_groups=0):
     if init is None:
         static, dda, alive0 = device_init.init_rays_device(fp, dims, R)
     else:
@@ -56,7 +58,8 @@ def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
             max_col_colors=max_col_colors if argb_mode else 0,
             skybox_argb=skybox_argb, occupancy=occupancy,
             gated_cells=gated_cells, lite_runs=lite_runs,
-            block_fetch=block_fetch, rb_cap=rb_cap)
+            block_fetch=block_fetch, rb_cap=rb_cap,
+            drain_groups=drain_groups)
     else:
         raybuf_idx = raymarch.phase1(
             wa, static, dda, alive0, fp.lod_distances, fp.far_clip,
@@ -243,7 +246,8 @@ class Renderer:
             gated_cells=cfg.gated_group_cells,
             lite_runs=self.lite_runs_resolved,
             block_fetch=self.block_fetch_on,
-            rb_cap=cfg.kernel_run_block or 4)
+            rb_cap=cfg.kernel_run_block or 4,
+            drain_groups=getattr(cfg, "drain_groups", 0))
         return screen, argb, (segs, ctxs, vp_screen, cam_data, cam)
 
     def render(self, cam: cm.Camera, return_raybuffers: bool = False):

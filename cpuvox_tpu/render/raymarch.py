@@ -907,7 +907,7 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                   max_col_colors: int = 0, skybox_argb: int = 0xFF191919,
                   occupancy: bool = False, gated_cells: int = 0,
                   lite_runs: int = 0, block_fetch: bool = True,
-                  rb_cap: int = 4,
+                  rb_cap: int = 4, drain_groups: int = 0,
                   ablate_kernel: str = "", ablate_pipeline: str = ""):
     """Phase 1 with the chunk rasterizer as a Pallas TPU kernel (cpuvox_tpu.ops.
     phase1_kernel).  Same DDA roll + gathers as `phase1`; per-ray state and the
@@ -1230,7 +1230,16 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                         and lite_runs > 0)
             LR = lite_runs
             LW = (LR + 1) // 2  # lite run words (always 16-bit packed)
-            MAXG = (C // GK) if block_fetch else 1
+            # drain_groups: how many GK-cell groups drain a chunk before the
+            # busy-ray rewind takes over.  0 = auto (historic policy: all
+            # C/GK groups when the block-conditional fetch can skip empty
+            # blocks, else ONE group + rewind).  Explicit values let the
+            # multi-group drain be A/B'd WITHOUT the per-block conds, whose
+            # launch overhead measured -456 ms on mill1024 (PERF_NOTES 25).
+            if drain_groups:
+                MAXG = min(drain_groups, C // GK)
+            else:
+                MAXG = (C // GK) if block_fetch else 1
 
             def gcond(gc):
                 g, raybuf, state, cap, stopped = gc
@@ -1480,7 +1489,7 @@ march_pallas_jit = jax.jit(
                      "max_runs", "dims", "pixel_len", "block_groups", "interpret",
                      "max_col_colors", "skybox_argb", "occupancy",
                      "gated_cells", "lite_runs", "block_fetch", "rb_cap",
-                     "ablate_kernel", "ablate_pipeline"))
+                     "drain_groups", "ablate_kernel", "ablate_pipeline"))
 
 
 def resolve_colors(raybuf_idx, colors, debug_magenta=np.uint32(0xFFFF1493)):

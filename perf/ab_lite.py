@@ -27,11 +27,11 @@ pairs = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 w, h = (int(x) for x in wh.split("x"))
 
 lods = build_world(scene)
-cfg = RenderConfig(width=w, height=h)
+cfg = RenderConfig(width=w, height=h, lite_records="auto")
 r_a = Renderer.create(lods, cfg)
-assert r_a.device_world.lite_runs > 0, "scene picked no lite tier"
+assert r_a.lite_runs_resolved > 0, "scene picked no lite tier"
 r_b = dataclasses.replace(
-    r_a, device_world=dataclasses.replace(r_a.device_world, lite_runs=0))
+    r_a, config=dataclasses.replace(cfg, lite_records="off"))
 dims = r_a.device_world.dims
 print(f"A: lite tier={r_a.device_world.lite_runs}  B: full records "
       f"(max_runs={r_a.device_world.max_runs})", flush=True)

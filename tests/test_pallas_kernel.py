@@ -126,8 +126,9 @@ def test_pallas_deep_split_layout(occupancy):
     assert np.array_equal(xlr, plr)
 
 
-@pytest.mark.parametrize("block_fetch", ["off", "on"])
-def test_pallas_occupancy_rewind_matches_xla(block_fetch):
+@pytest.mark.parametrize("block_fetch,drain_groups",
+                         [("off", 0), ("on", 0), ("off", 4)])
+def test_pallas_occupancy_rewind_matches_xla(block_fetch, drain_groups):
     """chunk=32 with the gate ON on DENSE content: every ray has more gated
     cells per chunk than one group covers.  With block_fetch OFF the policy
     is one group per chunk, so the rewind path (restore the pre-switch DDA
@@ -143,7 +144,8 @@ def test_pallas_occupancy_rewind_matches_xla(block_fetch):
         cfg = RenderConfig(width=SCREEN[0], height=SCREEN[1], chunk_steps=32,
                            max_march_chunks=64, backend=backend,
                            pallas_interpret=True, occupancy_gate="on",
-                           block_fetch=block_fetch, lod_error=4.0)
+                           block_fetch=block_fetch,
+                           drain_groups=drain_groups, lod_error=4.0)
         r = Renderer.create(lods, cfg)
         r.lod_distances = np.array([6, 12, 20, 32, 48, 96], np.float32)
         r.far_clip = 256.0
