@@ -76,13 +76,15 @@ class RenderConfig:
     block_fetch: str = "auto"
     # adaptive lite records ("auto" | "off"): on the gated path, fetch the
     # narrow lite row (meta + first `tier` runs) instead of the full record
-    # for cells that fit the tier (device.py _pick_lite_tier).  DEFAULT OFF:
-    # round-4 on-TPU triage found the lite path diverges from the XLA
-    # reference at mill scale (~5000 px at 1080p; lite tables + unpack proved
-    # bit-exact — the bug is in the group/stop/rewind orchestration, see
-    # perf/triage_lite_fetch.py) while every lite=off variant is 0-px exact.
-    # Flip to "auto" only after the divergence is fixed AND a paired A/B
-    # shows a win.
+    # for cells that fit the tier (device.py _pick_lite_tier).  DEFAULT OFF,
+    # now for PERF, not correctness: the round-4 divergence was root-caused
+    # to march-budget exhaustion (lite stops inflate while-iterations past
+    # the old 3*max_dim/chunk+64 bound — PERF_NOTES 26) and is fixed by the
+    # guaranteed gated budget + LD=2 deep slots; lite is bit-exact on TPU
+    # (ab_lite spot frame: 0 px).  But the paired A/B says LOSE (+233 ms p50
+    # on mill1024, 0-8 wins): each remaining stop re-rolls a whole chunk,
+    # eating the ~30 ms/frame gather-slot saving.  Opt-in for future
+    # content/hardware where the tier's deep rate is low.
     lite_records: str = "off"
     # gated-chunk drain groups: how many GK-cell groups drain a chunk before
     # the busy-ray rewind takes over (0 = auto: all C/GK groups when

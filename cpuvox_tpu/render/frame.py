@@ -162,8 +162,15 @@ class Renderer:
         a fixed GK x rays slot budget per chunk, so bigger chunks raise slot
         utilization — measured sweep in PERF_NOTES #19); dense or tiny worlds
         keep chunk 32.  Auto max_chunks covers a 3*max_dim-step march (the
-        round-2/3 bench provisioning, validated vs the oracle on mill content)
-        plus rewind headroom."""
+        round-2/3 bench provisioning, validated vs the oracle on mill content);
+        on the GATED path it must also cover the busy-ray rewind: every gated
+        iteration provably advances >= 1 cell or >= chunk steps, so
+        3*max_dim + 64 iterations can never truncate a ray — and unused
+        while_loop iterations cost nothing (the loop exits when rays die).
+        The round-3 '+64 rewind headroom' was NOT a guarantee: lite-record
+        stops at mill/1080p scale exhausted it and silently truncated tail
+        rays (~5000 px vs the XLA reference — PERF_NOTES finding 26's actual
+        root cause)."""
         cfg = self.config
         max_dim = max(self.device_world.dims)
         chunk = cfg.chunk_steps
@@ -171,7 +178,10 @@ class Renderer:
             chunk = 128 if (self.occupancy_on and max_dim >= 512) else 32
         max_chunks = cfg.max_march_chunks
         if max_chunks == 0:
-            max_chunks = (3 * max_dim) // chunk + 64
+            if self.occupancy_on:
+                max_chunks = 3 * max_dim + 64
+            else:
+                max_chunks = (3 * max_dim) // chunk + 64
         return chunk, max_chunks
 
     @property

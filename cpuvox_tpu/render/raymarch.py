@@ -1230,6 +1230,7 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                         and lite_runs > 0)
             LR = lite_runs
             LW = (LR + 1) // 2  # lite run words (always 16-bit packed)
+            LD = 2  # deep-cell full-record fetch slots per lane per group
             # drain_groups: how many GK-cell groups drain a chunk before the
             # busy-ray rewind takes over.  0 = auto (historic policy: all
             # C/GK groups when the block-conditional fetch can skip empty
@@ -1269,27 +1270,35 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                     tot = jax.lax.shift_right_logical(slot0, 8)
                     deep = n_l > LR
                     dexcl = jnp.cumsum(deep.astype(jnp.int32), axis=0) - deep
-                    # processed prefix: everything before the lane's SECOND
-                    # deep cell (the first deep cell gets the narrow full row)
-                    proc = vk & ((dexcl == 0) | ((dexcl == 1) & ~deep))
-                    first_deep = deep & (dexcl == 0)
-                    has_deep = jnp.any(first_deep, axis=0)  # (RW,)
-                    ci_d = jnp.sum(jnp.where(first_deep, ci_g, 0), axis=0)
+                    # processed prefix: everything before the lane's (LD+1)-th
+                    # deep cell this group — the first LD deep cells each get a
+                    # narrow full-record row (deep rank r rides fetch row r).
+                    # LD=1 stopped lanes often enough at mill/1080p scale to
+                    # exhaust the round-3 chunk budget and truncate rays
+                    # (PERF_NOTES 26 root cause); LD=2 makes stops rare, and
+                    # the guaranteed march budget (frame.march_params) makes
+                    # ANY stop rate output-exact.
+                    proc = vk & ((dexcl < LD) | ((dexcl == LD) & ~deep))
+                    dmask = [deep & (dexcl == r) for r in range(LD)]
+                    ci_d = jnp.stack(
+                        [jnp.sum(jnp.where(m, ci_g, 0), axis=0) for m in dmask])
+                    has_d = jnp.stack([jnp.any(m, axis=0) for m in dmask])
 
                     def deep_fetch():
-                        fr = fetch(ci_d[None, :], has_deep[None, :])
+                        fr = fetch(ci_d, has_d)
                         return fr[0], fr[4]
 
                     def deep_zeros():
-                        return (jnp.zeros((1, RW), jnp.int32),
-                                jnp.zeros((1, RW, MAXR), jnp.int32))
+                        return (jnp.zeros((LD, RW), jnp.int32),
+                                jnp.zeros((LD, RW, MAXR), jnp.int32))
 
                     # most groups have no deep cell at all (88% tier coverage
                     # on mill) — skip the full-width fallback gather entirely
                     fr_n, fr_runs = jax.lax.cond(
-                        jnp.any(has_deep), deep_fetch, deep_zeros)
+                        jnp.any(has_d), deep_fetch, deep_zeros)
                     n_runs = jnp.where(proc, n_l, 0)
-                    n_runs = jnp.where(first_deep, fr_n, n_runs)
+                    for r in range(LD):
+                        n_runs = jnp.where(dmask[r], fr_n[r][None, :], n_runs)
                     color_off = lrec[..., 1]
                     cmin = lrec[..., 2]
                     cmax = lrec[..., 3]
@@ -1319,7 +1328,9 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                     runs_k = jnp.concatenate(
                         [runs_l, jnp.zeros((GK, RW, MAXR - LR), jnp.int32)],
                         axis=-1)
-                    runs_k = jnp.where(first_deep[:, :, None], fr_runs, runs_k)
+                    for r in range(LD):
+                        runs_k = jnp.where(dmask[r][:, :, None],
+                                           fr_runs[r][None, :, :], runs_k)
                     colors_k = None
                 else:
                     proc = vk

@@ -295,3 +295,28 @@ def test_pallas_run_block_sizes_identical():
         outs[rb] = r.render(cam)
     assert np.array_equal(outs[4], outs[8])
     assert np.array_equal(outs[4], outs[3])
+
+
+def test_gated_auto_march_budget_guarantees_no_truncation():
+    """The auto march budget on the GATED path must be 3*max_dim + 64: every
+    gated iteration provably advances >= 1 rasterized cell or >= chunk DDA
+    steps, so that bound makes ANY stop/rewind rate output-exact — unused
+    while_loop iterations cost nothing.  The round-3 policy (3*max_dim/chunk
+    + 64 'rewind headroom') was NOT a guarantee: adaptive-lite stops at
+    mill/1080p scale exhausted it and silently truncated tail rays, which was
+    the actual root cause of the ~5000-px lite-vs-XLA divergence (PERF_NOTES
+    finding 26)."""
+    w = scenes.random_world(n=300, seed=5)  # empty-majority: gate auto-engages
+    lods = [w] * 6
+    cfg = RenderConfig(width=32, height=24, backend="pallas",
+                       pallas_interpret=True, occupancy_gate="on")
+    r = Renderer.create(lods, cfg)
+    assert r.occupancy_on
+    chunk, mc = r.march_params
+    assert mc >= 3 * max(r.device_world.dims) + 64, (chunk, mc)
+    # the dense path has no rewind: per-chunk provisioning is kept
+    cfg_d = RenderConfig(width=32, height=24, backend="pallas",
+                         pallas_interpret=True, occupancy_gate="off")
+    rd = Renderer.create(lods, cfg_d)
+    chunk_d, mc_d = rd.march_params
+    assert mc_d == (3 * max(rd.device_world.dims)) // chunk_d + 64
