@@ -87,7 +87,14 @@ def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
             screen_idx = reproject.reproject.__wrapped__(
                 raybuf_idx, tri_a, tri_b, tri_c, ray_count, ray_base, active,
                 width=width, height=height, skybox=jnp.int32(0))
-        screen = raymarch.resolve_colors_banded(screen_idx, wa.colors)
+        # FLAT resolve: the band-conditional variant (resolve_colors_banded,
+        # skip all-sky 8-row bands) models a win but measured +36 ms p50 on
+        # TPU at 36% sky (perf/ab_resolve_banded, r4) — ~135 per-band
+        # cond+gather launches cost more than the skipped rows save, the same
+        # per-launch-overhead lesson as the block-conditional fetch
+        # (PERF_NOTES 25/28).  The banded variant stays available + equality-
+        # tested for future hardware.
+        screen = raymarch.resolve_colors(screen_idx, wa.colors)
     if out_width is not None and (out_width, out_height) != (width, height):
         # native-size upscale of the scaled render (the reference renders through
         # a low-res "fake camera" and lets the GPU blit stretch it,
