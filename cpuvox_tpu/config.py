@@ -91,6 +91,16 @@ class RenderConfig:
     # block_fetch is on, else one group + rewind).  Explicit values A/B the
     # multi-group drain WITHOUT the per-block conds (PERF_NOTES 25)
     drain_groups: int = 0
+    # solid-bound ray kill ("on" | "off"): retire a ray once its frozen
+    # frustum window provably clears the world's solid-content Y bounds
+    # (DeviceWorld.solid_min_y/solid_max_y) — with f_active held fdir is
+    # frozen, so a monotone window that passed max(col_max) can never
+    # intersect a column again; killing it changes no output pixel (the
+    # unwritten tail becomes skybox exactly as a far-clip death would).
+    # Strictly stronger than the reference's world-box retire
+    # (DrawSegmentRayJob.cs:261-281) when content tops out below the box;
+    # "off" is the A/B ablation leg.
+    solid_kill: str = "on"
     # kernel run-block size: runs swept in registers per merged tile walk
     # inside the Pallas rasterizer (deep-RLE worlds sweep MAXR runs in blocks
     # of this size; bigger blocks merge more spans per walk at the cost of

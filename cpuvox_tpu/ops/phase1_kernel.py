@@ -55,8 +55,11 @@ def _shift_left_one(lod):
 
 
 def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
-                 ablate="", rb_cap=RB_CAP):
+                 ablate="", rb_cap=RB_CAP, solid_min_y=None, solid_max_y=None):
     WMY = float(world_max_y)  # python scalar (weak-typed)
+    # solid-bound kill scalars (None = disabled); see the kill comment below
+    SMNY = None if solid_min_y is None else float(solid_min_y)
+    SMXY = None if solid_max_y is None else float(solid_max_y)
     RB = min(MAXR, rb_cap)
     # MCC > 0: ARGB mode — the record carries the column's voxel colors
     # (alpha MSB cleared, so they stay >= 0 and the unwritten<0 sentinel holds);
@@ -203,6 +206,19 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
                 new_min = camy + fdmin * dist_bot
                 cull = al & nonempty & fact & ((new_min > WMY) | (new_max < 0.0))
                 alive = alive & ~cull
+                if SMXY is not None:
+                    # solid-bound kill (output-exact): with f_active held, fdir
+                    # is frozen, so for fdir_min >= 0 this cell's new_min lower-
+                    # bounds every future window bottom (f32 rounding of a
+                    # monotone function is monotone, same arithmetic as the
+                    # skip_col test below) — new_min > max solid cmax means all
+                    # future cells are provable skip_cols and the ray can never
+                    # write again.  Symmetric for the window top.  Kills the
+                    # post-write sky tail that otherwise marches to far clip.
+                    kill_solid = al & fact & (
+                        ((fdmin >= 0.0) & (new_min > SMXY))
+                        | ((fdmax <= 0.0) & (new_max < SMNY)))
+                    alive = alive & ~kill_solid
                 skip_col = fact & ((cmin_f > new_max) | (cmax_f < new_min))
                 wbmin = jnp.where(fact, new_min, 0.0)
                 wbmax = jnp.where(fact, new_max, WMY)
@@ -610,7 +626,8 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
 @functools.partial(
     jax.jit,
     static_argnames=("C", "MAXR", "BG", "P", "iteration_direction",
-                     "world_max_y", "interpret", "MCC", "ablate", "rb_cap"))
+                     "world_max_y", "interpret", "MCC", "ablate", "rb_cap",
+                     "solid_min_y", "solid_max_y"))
 def rasterize_chunk(
     stacked,  # (C, 8 + MAXR + MCC, G, 128) int32: the per-cell field stack
               # [ids0, ids1, lod, valid, n_runs, color_off, cmin, cmax,
@@ -622,6 +639,7 @@ def rasterize_chunk(
     C: int, MAXR: int, BG: int, P: int, iteration_direction: int,
     world_max_y: float, interpret: bool = False, MCC: int = 0,
     ablate: str = "", rb_cap: int = RB_CAP,
+    solid_min_y: float | None = None, solid_max_y: float | None = None,
 ):
     G = raybuf.shape[0]
     assert G % BG == 0, (G, BG)
@@ -633,7 +651,8 @@ def rasterize_chunk(
     grid = (G // BG, C)
 
     kern = _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y,
-                        MCC=MCC, ablate=ablate, rb_cap=rb_cap)
+                        MCC=MCC, ablate=ablate, rb_cap=rb_cap,
+                        solid_min_y=solid_min_y, solid_max_y=solid_max_y)
 
     def bs_stk():  # (C, NF, G, 128) -> (1, NF, BG, 128) per-cell slice
         return pl.BlockSpec((1, NF, BG, 128), lambda i, c: (c, 0, i, 0),

@@ -57,11 +57,13 @@ def _sharded_batch_fn(mesh, statics: tuple, wa_specs, fp_specs, cam_spec):
     jax.jit,
     static_argnames=("backend", "interpret", "iteration_direction", "chunk",
                      "max_chunks", "max_runs", "dims", "pixel_len", "width",
-                     "height", "R1", "occupancy", "gated_cells", "lite_runs"))
+                     "height", "R1", "occupancy", "gated_cells", "lite_runs",
+                     "solid_min_y", "solid_max_y"))
 def _batch_frame_fn(wa, fp_b, tri_a, tri_b, tri_c, ray_count, ray_base, active,
                     backend, interpret, iteration_direction, chunk, max_chunks,
                     max_runs, dims, pixel_len, width, height, R1,
-                    occupancy=False, gated_cells=0, lite_runs=0):
+                    occupancy=False, gated_cells=0, lite_runs=0,
+                    solid_min_y=None, solid_max_y=None):
     B = fp_b.cam_pos.shape[0]
 
     static_b, dda_b, alive_b = jax.vmap(
@@ -83,11 +85,12 @@ def _batch_frame_fn(wa, fp_b, tri_a, tri_b, tri_c, ray_count, ray_base, active,
         raybuf_idx = raymarch.phase1_pallas(
             wa, static, dda, alive0, lodd, farc, float(dims[1]), cam_y,
             **common, interpret=interpret, occupancy=occupancy,
-            gated_cells=gated_cells, lite_runs=lite_runs)
+            gated_cells=gated_cells, lite_runs=lite_runs,
+            solid_min_y=solid_min_y, solid_max_y=solid_max_y)
     else:
         raybuf_idx = raymarch.phase1(
             wa, static, dda, alive0, lodd, farc, jnp.float32(dims[1]), cam_y,
-            **common)
+            **common, solid_min_y=solid_min_y, solid_max_y=solid_max_y)
     idx_b = raybuf_idx.reshape(B, R1, -1)
     screens_idx = jax.vmap(
         lambda a, ta, tb, tc, rc, rb, ac: reproject.reproject.__wrapped__(
@@ -168,7 +171,9 @@ def render_camera_batch(renderer, cams: list[cm.Camera], rmesh=None):
             pixel_len=max(W, H), width=W, height=H, R1=R1,
             occupancy=renderer.occupancy_on,
             gated_cells=cfg.gated_group_cells,
-            lite_runs=renderer.lite_runs_resolved)
+            lite_runs=renderer.lite_runs_resolved,
+            solid_min_y=renderer.solid_bounds[0],
+            solid_max_y=renderer.solid_bounds[1])
         args = (renderer._wa, fp_b, tb["tri_a"], tb["tri_b"], tb["tri_c"],
                 tb["ray_count"], tb["ray_base"], tb["active"])
         if rmesh is None:

@@ -216,7 +216,9 @@ def render_frame_sharded(renderer, cam, rmesh: RenderMesh):
         lite_runs=renderer.lite_runs_resolved,
         block_fetch=renderer.block_fetch_on,
         rb_cap=cfg.kernel_run_block or 4,
-        drain_groups=getattr(cfg, "drain_groups", 0))
+        drain_groups=getattr(cfg, "drain_groups", 0),
+        solid_min_y=renderer.solid_bounds[0],
+        solid_max_y=renderer.solid_bounds[1])
 
     wa = renderer._wa
     wa_specs = jax.tree_util.tree_map(lambda _: P(), wa)

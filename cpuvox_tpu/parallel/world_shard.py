@@ -63,6 +63,11 @@ class _ActiveWorldMeta:
     lite_runs: int = 0
     occ_tiles: object = None  # non-None enables the occupancy auto policy
     empty_frac: float = 0.0
+    # solid-content Y bounds for the solid-bound ray kill (None = disabled);
+    # window arithmetic is world-global, so the replicated bounds stay exact
+    # under tile striping
+    solid_min_y: float | None = None
+    solid_max_y: float | None = None
 
 
 @dataclasses.dataclass
@@ -104,6 +109,9 @@ class ShardedWorld:
     coarse_lite_fwd: np.ndarray | None = None
     coarse_lite_rev: np.ndarray | None = None
     lite_runs: int = 0
+    # solid-content Y bounds (device.py): world-global, striping-invariant
+    solid_min_y: float = 0.0
+    solid_max_y: float = 0.0
 
     @property
     def n_chips(self) -> int:
@@ -177,7 +185,7 @@ class ShardedWorld:
         # coarse color offsets 0-based into coarse_colors (rebased per window)
         coarse_fwd[:, 1] -= 1 + n0c
         coarse_rev[:, 1] -= 1 + n0c
-        extra = {}
+        extra = {"solid_min_y": dw.solid_min_y, "solid_max_y": dw.solid_max_y}
         if t >= 16 and dw.occ_tiles is not None:
             # occupancy tiles (16x8 columns per row) nest inside world tiles;
             # stripe LOD0's rows the same way so the gated march works sharded
@@ -289,7 +297,8 @@ class ShardedRenderer:
         meta = _ActiveWorldMeta(
             dims=sw.dims, lod_levels=sw.lod_levels, max_runs=sw.max_runs,
             lod0_voxels=sw.lod0_voxels, lite_runs=sw.lite_runs,
-            occ_tiles=sw.owned_occ, empty_frac=sw.empty_frac)
+            occ_tiles=sw.owned_occ, empty_frac=sw.empty_frac,
+            solid_min_y=sw.solid_min_y, solid_max_y=sw.solid_max_y)
         self.inner = Renderer(device_world=meta, config=cfg)
         self.ray_mesh = ray_mesh
         self._exchange = sw.make_exchange()

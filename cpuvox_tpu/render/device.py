@@ -104,6 +104,17 @@ class DeviceWorld:
     tile_gz: np.ndarray | None = None  # int32 [8] (tiles per x-row per LOD)
     # fraction of LOD0 columns with zero runs (drives the occupancy auto policy)
     empty_frac: float = 0.0
+    # world-Y bounds of SOLID content over every LOD (col_min/col_max extremes
+    # of occupied columns; world units).  The march kills a ray whose frozen
+    # frustum window provably cleared these bounds — output-exact (see
+    # raymarch._rasterize_step solid-bound kill) and strictly stronger than the
+    # reference's world-box retire (DrawSegmentRayJob.cs:261-281) whenever the
+    # content tops out below the world box.  None = kill disabled: any
+    # DeviceWorld built outside build_device_world (dynamic surface worlds,
+    # EditableWorld snapshots) must OPT IN with true bounds — a stale/too-low
+    # bound would wrongly retire writable rays.
+    solid_min_y: float | None = None
+    solid_max_y: float | None = None
     # world-sharded active window [tx0, tz0, t_log2, W] (parallel/world_shard
     # fills this on ACTIVE worlds only; None = plain replicated layout)
     win: np.ndarray | None = None
@@ -241,6 +252,10 @@ def build_device_world(lods: list[WorldLOD],
     dw.occ_tiles, dw.tile_base, dw.tile_gz = build_occ_tiles(lods)
     n0 = lods[0].col_runs.shape[0]
     dw.empty_frac = float((lods[0].col_runs == 0).sum() / max(n0, 1))
+    occ_any = cr > 0
+    if occ_any.any():
+        dw.solid_min_y = float(rec[occ_any, 3].min())
+        dw.solid_max_y = float(rec[occ_any, 4].max())
     if max_runs <= INLINE_MAX_RUNS:
         # per-column voxel-color count = sum of the column's solid-run lengths
         # (offsets are NOT monotone in column order for voxel-soup worlds)

@@ -35,14 +35,14 @@ F = np.float32
                      "height", "R", "out_width", "out_height",
                      "max_col_colors", "skybox_argb", "occupancy",
                      "gated_cells", "lite_runs", "block_fetch", "rb_cap",
-                     "drain_groups"))
+                     "drain_groups", "solid_min_y", "solid_max_y"))
 def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
               backend, interpret, iteration_direction, chunk, max_chunks,
               max_runs, dims, pixel_len, width, height, R,
               out_width=None, out_height=None, init=None,
               max_col_colors=0, skybox_argb=0xFF191919, occupancy=False,
               gated_cells=0, lite_runs=0, block_fetch=True, rb_cap=4,
-              drain_groups=0):
+              drain_groups=0, solid_min_y=None, solid_max_y=None):
     if init is None:
         static, dda, alive0 = device_init.init_rays_device(fp, dims, R)
     else:
@@ -59,11 +59,13 @@ def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
             skybox_argb=skybox_argb, occupancy=occupancy,
             gated_cells=gated_cells, lite_runs=lite_runs,
             block_fetch=block_fetch, rb_cap=rb_cap,
-            drain_groups=drain_groups)
+            drain_groups=drain_groups,
+            solid_min_y=solid_min_y, solid_max_y=solid_max_y)
     else:
         raybuf_idx = raymarch.phase1(
             wa, static, dda, alive0, fp.lod_distances, fp.far_clip,
-            jnp.float32(dims[1]), fp.cam_pos[1], **common)
+            jnp.float32(dims[1]), fp.cam_pos[1], **common,
+            solid_min_y=solid_min_y, solid_max_y=solid_max_y)
     if argb_mode:
         # phase 1 already wrote final ARGB — sample it and we're done (no
         # 2M-element color resolve; a flat ~75ms on v5e at 1080p)
@@ -161,6 +163,19 @@ class Renderer:
         RenderConfig.block_fetch)."""
         mode = getattr(self.config, "block_fetch", "auto")
         return mode == "on"
+
+    @property
+    def solid_bounds(self) -> tuple[float | None, float | None]:
+        """(solid_min_y, solid_max_y) for the solid-bound ray kill, or
+        (None, None) when disabled (RenderConfig.solid_kill)."""
+        if getattr(self.config, "solid_kill", "on") == "off":
+            return (None, None)
+        dw = self.device_world
+        lo = getattr(dw, "solid_min_y", None)
+        hi = getattr(dw, "solid_max_y", None)
+        if lo is None or hi is None:
+            return (None, None)
+        return (lo, hi)
 
     @property
     def march_params(self) -> tuple[int, int]:
@@ -264,7 +279,9 @@ class Renderer:
             lite_runs=self.lite_runs_resolved,
             block_fetch=self.block_fetch_on,
             rb_cap=cfg.kernel_run_block or 4,
-            drain_groups=getattr(cfg, "drain_groups", 0))
+            drain_groups=getattr(cfg, "drain_groups", 0),
+            solid_min_y=self.solid_bounds[0],
+            solid_max_y=self.solid_bounds[1])
         return screen, argb, (segs, ctxs, vp_screen, cam_data, cam)
 
     def render(self, cam: cm.Camera, return_raybuffers: bool = False):

@@ -609,6 +609,20 @@ def _rasterize_step(rs: RasterState, inputs, wa: WorldArrays, static: RayStatic,
     cull_world = alive & nonempty & f_act & ((new_min > world_max_y)
                                              | (new_max < 0.0))
     alive = alive & ~cull_world
+    if consts.get("solid_max_y") is not None:
+        # ---- solid-bound kill (output-exact; no reference analog — strictly
+        # stronger than the :261-281 world-box retire).  While f_active holds,
+        # fdir is FROZEN (it only changes at do_clip, which requires ~f_act, or
+        # resets on a write).  With fdir_min >= 0 the window bottom new_min is
+        # monotone in distance, and every column's cmax <= solid_max_y, so
+        # new_min > solid_max_y means every future cell is a provable skip_col:
+        # the ray can never write again and killing it changes no output pixel
+        # (symmetric for the window top vs solid_min_y).  Kills the post-write
+        # sky tail that otherwise marches to far clip.
+        kill_solid = alive & f_act & (
+            ((rs.fdir_min >= 0.0) & (new_min > consts["solid_max_y"]))
+            | ((rs.fdir_max <= 0.0) & (new_max < consts["solid_min_y"])))
+        alive = alive & ~kill_solid
     skip_col = f_act & ((cmin.astype(jnp.float32) > new_max)
                         | (cmax.astype(jnp.float32) < new_min))
     wb_min = jnp.where(f_act, new_min, 0.0)
@@ -822,6 +836,8 @@ def march(
     chunk: int,
     max_chunks: int,
     max_runs: int,
+    solid_min_y=None,
+    solid_max_y=None,
 ):
     """Full phase-1 march: chunked roll + gather + rasterize until all rays die."""
     # cam_y may be scalar (single camera) or per-ray (batched multi-camera mode,
@@ -831,6 +847,10 @@ def march(
         "world_max_y": jnp.float32(world_max_y),
         "cam_y": cam_y,
         "cam_y_norm": cam_y / jnp.float32(world_max_y),
+        "solid_min_y": (None if solid_min_y is None
+                        else jnp.float32(solid_min_y)),
+        "solid_max_y": (None if solid_max_y is None
+                        else jnp.float32(solid_max_y)),
     }
     lod_distances = jnp.asarray(lod_distances)
 
@@ -868,7 +888,8 @@ def march(
 
 
 def phase1(wa, static, dda, alive0, lod_distances, far_clip, world_max_y, cam_y,
-           iteration_direction, chunk, max_chunks, max_runs, dims, pixel_len):
+           iteration_direction, chunk, max_chunks, max_runs, dims, pixel_len,
+           solid_min_y=None, solid_max_y=None):
     """Unjitted full phase 1 (march + deferred skybox fill); jit via march_jit."""
     R = static.dirs.shape[0]
     rs = RasterState(
@@ -883,7 +904,8 @@ def phase1(wa, static, dda, alive0, lod_distances, far_clip, world_max_y, cam_y,
         alive=jnp.ones(R, bool),
     )
     rs = march(wa, static, dda, alive0, rs, lod_distances, far_clip, dims,
-               world_max_y, cam_y, iteration_direction, chunk, max_chunks, max_runs)
+               world_max_y, cam_y, iteration_direction, chunk, max_chunks,
+               max_runs, solid_min_y=solid_min_y, solid_max_y=solid_max_y)
     # deferred WriteSkybox (:699-716): unwritten pixels inside the segment range -> 0
     P = pixel_len
     pix = jnp.arange(P, dtype=jnp.int32)[None, :]
@@ -908,6 +930,8 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                   occupancy: bool = False, gated_cells: int = 0,
                   lite_runs: int = 0, block_fetch: bool = True,
                   rb_cap: int = 4, drain_groups: int = 0,
+                  solid_min_y: float | None = None,
+                  solid_max_y: float | None = None,
                   ablate_kernel: str = "", ablate_pipeline: str = ""):
     """Phase 1 with the chunk rasterizer as a Pallas TPU kernel (cpuvox_tpu.ops.
     phase1_kernel).  Same DDA roll + gathers as `phase1`; per-ray state and the
@@ -1059,7 +1083,8 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                 C=NC, MAXR=MAXR, BG=BG, P=P,
                 iteration_direction=iteration_direction,
                 world_max_y=float(world_max_y), interpret=interpret, MCC=MCC,
-                ablate=ablate_kernel, rb_cap=rb_cap)
+                ablate=ablate_kernel, rb_cap=rb_cap,
+                solid_min_y=solid_min_y, solid_max_y=solid_max_y)
 
         def fetch(ci, valid):
             """Column-record fetch with the dead-slot SPREAD trick: dead slots
@@ -1195,6 +1220,27 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                 [jnp.zeros((1, Rk), jnp.int32),
                  jnp.cumsum(trigger[:-1], axis=0)], axis=0) > 0
             gate = v_valid & bitish & (taint_before | ~excl)
+
+            if solid_max_y is not None:
+                # solid-bound pre-kill (see _rasterize_step): on an UNTAINTED
+                # step the frozen-fdir window is exact, so a monotone window
+                # past the world's solid Y bounds retires the ray BEFORE the
+                # fetch — this is the only kill that reaches rays whose every
+                # visit is occupancy-gated away (empty-region sky tails the
+                # in-kernel kill never sees).  Margins absorb contraction
+                # drift, same as `excl` above.  Cells at and after a killing
+                # step are provable skip_cols — drop them from the gate too.
+                kill_pre = (fact0[None, :] & v_valid & ~taint_before
+                            & (((fdmin_r >= 0.0)
+                                & (new_min - margin > jnp.float32(solid_max_y)))
+                               | ((fdmax_r <= 0.0)
+                                  & (new_max + margin
+                                     < jnp.float32(solid_min_y)))))
+                kill_from = jnp.cumsum(kill_pre.astype(jnp.int32), axis=0) > 0
+                gate = gate & ~kill_from
+                dead = kill_from[-1]
+                state = dict(state, alive=jnp.where(
+                    dead.reshape(G, 128), 0, state["alive"]))
 
             # Stage B: pack gated steps to a per-ray prefix (order-preserving —
             # keys are the step indices) and fetch + rasterize them in groups

@@ -63,7 +63,12 @@ rs = rm.RasterState(
     alive=jnp.ones(R, bool))
 
 consts = {"world_max_y": jnp.float32(wmy), "cam_y": cam_y,
-          "cam_y_norm": cam_y / jnp.float32(wmy)}
+          "cam_y_norm": cam_y / jnp.float32(wmy),
+          "solid_min_y": None, "solid_max_y": None}
+SOLID_MIN = r.device_world.solid_min_y
+SOLID_MAX = r.device_world.solid_max_y
+print(f"solid bounds: [{SOLID_MIN}, {SOLID_MAX}]  world box: [0, {wmy}]  "
+      f"cam_y={float(cam_data.position[1]):.1f}", flush=True)
 
 
 @jax.jit
@@ -130,21 +135,52 @@ def one_chunk(wa, static, dda, march_alive, rs):
     n_runs, run_off, color_off, cmin, cmax, runs_k = rm._fetch_columns(
         wa, ci_c, v_valid, itd, MAXR)
 
-    def raster_scan(rs, step_in):
-        return rm._rasterize_step(rs, step_in, wa, static, consts, itd,
-                                  MAXR), None
+    # per-visit ground truth with the EVOLVING state: of the fetched cells, how
+    # many does the rasterizer actually process vs skip_col (per-column window
+    # miss)?  plus the would-be solid-bound kill (window bottom cleared the
+    # world's max solid height with a monotone window)
+    smax = jnp.float32(SOLID_MAX)
+    smin = jnp.float32(SOLID_MIN)
+    cnt0 = {k: jnp.int32(0) for k in
+            ("proc", "skipc", "noact", "clip", "killsolid", "proc_lod0")}
 
-    rs, _ = jax.lax.scan(
-        raster_scan, rs,
+    def raster_scan(carry, step_in):
+        rs, cnt = carry
+        pos_s, ids_s, lod_s, valid_s, nr_s, ro_s, co_s, cmin_s, cmax_s, rk_s \
+            = step_in
+        al = rs.alive & valid_s
+        dist_top = jnp.where(rs.fdir_max > 0, ids_s[:, 1], ids_s[:, 0])
+        dist_bot = jnp.where(rs.fdir_min < 0, ids_s[:, 1], ids_s[:, 0])
+        nmax = cam_y + rs.fdir_max * dist_top
+        nmin = cam_y + rs.fdir_min * dist_bot
+        fa = rs.f_active
+        ne = nr_s > 0
+        skip = fa & ((cmin_s.astype(jnp.float32) > nmax)
+                     | (cmax_s.astype(jnp.float32) < nmin))
+        kill = al & fa & (((rs.fdir_min >= 0) & (nmin > smax))
+                          | ((rs.fdir_max <= 0) & (nmax < smin)))
+        proc = al & ne & ~skip
+        cnt = {"proc": cnt["proc"] + proc.sum(),
+               "proc_lod0": cnt["proc_lod0"] + (proc & (lod_s == 0)).sum(),
+               "skipc": cnt["skipc"] + (al & ne & skip).sum(),
+               "noact": cnt["noact"] + (al & ne & ~fa).sum(),
+               "clip": cnt["clip"] + (proc & (ids_s[:, 0] > 2.0) & ~fa).sum(),
+               "killsolid": cnt["killsolid"] + kill.sum()}
+        rs2 = rm._rasterize_step(rs, step_in, wa, static, consts, itd, MAXR)
+        return (rs2, cnt), None
+
+    (rs, cnt), _ = jax.lax.scan(
+        raster_scan, (rs, cnt0),
         (v_pos, v_ids, v_lod, v_valid, n_runs, run_off, color_off, cmin, cmax,
          runs_k))
+    stats.update(cnt)
     return dda, march_alive, rs, stats
 
 
 march_alive = alive0
 tot = None
-print("chunk alive_in  valid   bit1  exclW  gated  fact0 | gated by lod")
-for i in range(60):
+print("chunk alive_in  valid   bit1  exclW  gated   proc  skipc  killS | gated by lod")
+for i in range(192):
     dda, march_alive, rs, st = one_chunk(wa, static, dda, march_alive, rs)
     st = {k: int(v) for k, v in st.items()}
     if tot is None:
@@ -153,7 +189,8 @@ for i in range(60):
         tot = {k: tot[k] + st[k] for k in st}
     lodstr = " ".join(str(st[f"gated_lod{L}"]) for L in range(7))
     print(f"{i:4d} {st['alive_in']:8d} {st['valid']:7d} {st['bit1']:6d} "
-          f"{st['excl_win']:6d} {st['gated']:6d} {st['fact0']:6d} | {lodstr}")
+          f"{st['excl_win']:6d} {st['gated']:6d} {st['proc']:6d} "
+          f"{st['skipc']:6d} {st['killsolid']:6d} | {lodstr}", flush=True)
     if st["alive_in"] == 0:
         break
 print("TOTALS:", {k: v for k, v in tot.items()})
