@@ -7,7 +7,7 @@ Baseline: the reference's north-star 60 fps at 1080p on a 36.9M-voxel 2048^3 wor
 Env knobs:
   BENCH_SCENE   terrain2048 (default) | terrain1024 | mill256
   BENCH_WH      "1920x1080" (default)
-  BENCH_FRAMES  frames timed along the flythrough (default 12)
+  BENCH_FRAMES  frames timed along the flythrough (default 24; VERDICT r3 weak 4 — 12 was a thin sample)
 """
 import json
 import os
@@ -309,7 +309,7 @@ def main():
         run_rollout(n_cams=int(scene[7:] or "64"))
         return
     wh = os.environ.get("BENCH_WH", "1920x1080")
-    n_frames = int(os.environ.get("BENCH_FRAMES", "12"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "24"))
     w, h = (int(x) for x in wh.split("x"))
 
     import jax

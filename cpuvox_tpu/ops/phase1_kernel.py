@@ -590,6 +590,49 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
                     wrote = merged_walk(slots, wrote0)
                     (_, _, _, nfpmin, nfpmax, fbmin, fbmax, alive_i2) = st
                 else:
+                    # ---- checkpoint sweep skip: a run strictly on the far
+                    # side of the frustum window is never drawn and never
+                    # breaks (draw needs ~above & ~below; brk fires on the
+                    # NEAR side only), so its whole sweep_one contribution is
+                    # the cursor move — and the cursor arithmetic is integer-
+                    # valued (lengths x power-of-two LOD scales, all < 2^24),
+                    # hence f32-EXACT: jumping the cursor to a precomputed
+                    # cumulative-length checkpoint replays the sequential
+                    # value bit-for-bit.  Pre-pass cost ~2 sweep_one steps of
+                    # static VMEM reads; the win is every skipped RB block of
+                    # full sweep geometry (mill: 45-run columns, windows mid-
+                    # column — about half the sweep on the deep-RLE scenes).
+                    NCK = (MAXR - 1) // RB  # boundaries at RB, 2RB, ..
+                    cum = jnp.zeros((BG, 128), jnp.int32)
+                    best_k = jnp.zeros((BG, 128), jnp.int32)
+                    for c in range(1, NCK + 1):
+                        for j in range((c - 1) * RB, c * RB):
+                            cum = cum + (stk_r[0, 8 + j] & 0xFFFF)
+                        cursor = (cum * vshift).astype(jnp.float32)
+                        if iteration_direction > 0:
+                            # runs 0..cRB-1 all above the window <=> the
+                            # deepest of them still ends above wbmax
+                            ok = (WMY - cursor) > wbmax
+                        else:
+                            ok = cursor < wbmin
+                        best_k = jnp.where(process & ok, jnp.int32(c * RB),
+                                           best_k)
+                    k_start = jnp.min(jnp.where(process, best_k,
+                                                jnp.int32(MAXR)))
+                    # per-lane cursor at the SHARED k_start (lanes whose own
+                    # checkpoint is deeper just sweep a few extra far-side
+                    # runs; lanes with k_start > nruns are inert — their eb
+                    # is never read under k_valid)
+                    cum0 = jnp.zeros((BG, 128), jnp.int32)
+                    for j in range(NCK * RB):
+                        cum0 = cum0 + jnp.where(
+                            j < k_start, stk_r[0, 8 + j] & 0xFFFF, 0)
+                    cur0 = (cum0 * vshift).astype(jnp.float32)
+                    if iteration_direction > 0:
+                        sweep0 = (WMY - cur0, WMY - cur0) + sweep0[2:]
+                    else:
+                        sweep0 = (cur0, cur0) + sweep0[2:]
+
                     def rb_cond(st):
                         k0 = st[0]
                         (_, _, run_done_i, _, _, _, _, alive_i2) = st[1]
@@ -607,7 +650,7 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
                         return (k0 + RB, sweep_st, wrote)
 
                     _, sweep_st, wrote = jax.lax.while_loop(
-                        rb_cond, rb_body, (jnp.int32(0), sweep0, wrote0))
+                        rb_cond, rb_body, (k_start, sweep0, wrote0))
                     (_, _, _, nfpmin, nfpmax, fbmin, fbmax, alive_i2) = sweep_st
 
                 fact = fact & (wrote == 0)

@@ -78,3 +78,9 @@ timed("nosweep    ", ablate_kernel="nosweep")
 if not occ:
     timed("nogather   ", ablate_pipeline="nogather")
     timed("nopallas   ", ablate_pipeline="nopallas")
+else:
+    # gated-path bisection ablations (WRONG output, timing only): nofetch
+    # leaves roll + stage-A + kernel with zeroed records; noraster leaves
+    # roll + stage-A + fetch with the kernel replaced by a no-op
+    timed("nofetch    ", ablate_pipeline="nofetch")
+    timed("noraster   ", ablate_pipeline="noraster")

@@ -20,3 +20,21 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# ---- fast/slow test tiers (VERDICT r3 item 6) -------------------------------
+# The full suite takes ~30 min on this 1-core host (Pallas interpret mode
+# dominates); `pytest -m "not slow"` is the <5 min inner-loop tier.  Durations
+# are appended to tests/.durations.txt on every run so the tier assignment
+# stays data-driven (re-check when a module's time profile changes).
+
+_DUR_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".durations.txt")
+
+
+def pytest_runtest_logreport(report):
+    if report.when == "call":
+        try:
+            with open(_DUR_PATH, "a") as f:
+                f.write(f"{report.duration:9.2f}  {report.nodeid}\n")
+        except OSError:
+            pass
