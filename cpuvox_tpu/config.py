@@ -106,6 +106,11 @@ class RenderConfig:
     # of this size; bigger blocks merge more spans per walk at the cost of
     # register pressure).  0 = auto (4, the measured round-2 sweet spot)
     kernel_run_block: int = 0
+    # checkpoint sweep skip ("on" | "off"): deep-RLE sweeps start at the
+    # deepest RB boundary every lane's frustum window provably hasn't
+    # reached (far-side runs only move the integer-exact cursor — see
+    # phase1_kernel).  "off" is the paired-A/B ablation leg
+    kernel_sweep_skip: str = "on"
     # per-frame ray init on the host (numpy) or on device (jnp).  Both are
     # bit-exact vs the oracle: device init pins FMA contraction (opaque-one
     # multiplies), uses correctly-rounded soft divide/sqrt (utils/ieee.py —

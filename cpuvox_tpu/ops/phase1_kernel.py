@@ -55,7 +55,8 @@ def _shift_left_one(lod):
 
 
 def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
-                 ablate="", rb_cap=RB_CAP, solid_min_y=None, solid_max_y=None):
+                 ablate="", rb_cap=RB_CAP, solid_min_y=None, solid_max_y=None,
+                 sweep_skip=True):
     WMY = float(world_max_y)  # python scalar (weak-typed)
     # solid-bound kill scalars (None = disabled); see the kill comment below
     SMNY = None if solid_min_y is None else float(solid_min_y)
@@ -602,36 +603,39 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
                     # static VMEM reads; the win is every skipped RB block of
                     # full sweep geometry (mill: 45-run columns, windows mid-
                     # column — about half the sweep on the deep-RLE scenes).
-                    NCK = (MAXR - 1) // RB  # boundaries at RB, 2RB, ..
-                    cum = jnp.zeros((BG, 128), jnp.int32)
-                    best_k = jnp.zeros((BG, 128), jnp.int32)
-                    for c in range(1, NCK + 1):
-                        for j in range((c - 1) * RB, c * RB):
-                            cum = cum + (stk_r[0, 8 + j] & 0xFFFF)
-                        cursor = (cum * vshift).astype(jnp.float32)
+                    if sweep_skip:
+                        NCK = (MAXR - 1) // RB  # boundaries at RB, 2RB, ..
+                        cum = jnp.zeros((BG, 128), jnp.int32)
+                        best_k = jnp.zeros((BG, 128), jnp.int32)
+                        for c in range(1, NCK + 1):
+                            for j in range((c - 1) * RB, c * RB):
+                                cum = cum + (stk_r[0, 8 + j] & 0xFFFF)
+                            cursor = (cum * vshift).astype(jnp.float32)
+                            if iteration_direction > 0:
+                                # runs 0..cRB-1 all above the window <=> the
+                                # deepest of them still ends above wbmax
+                                ok = (WMY - cursor) > wbmax
+                            else:
+                                ok = cursor < wbmin
+                            best_k = jnp.where(process & ok,
+                                               jnp.int32(c * RB), best_k)
+                        k_start = jnp.min(jnp.where(process, best_k,
+                                                    jnp.int32(MAXR)))
+                        # per-lane cursor at the SHARED k_start (lanes whose
+                        # own checkpoint is deeper just sweep a few extra far-
+                        # side runs; lanes with k_start > nruns are inert —
+                        # their eb is never read under k_valid)
+                        cum0 = jnp.zeros((BG, 128), jnp.int32)
+                        for j in range(NCK * RB):
+                            cum0 = cum0 + jnp.where(
+                                j < k_start, stk_r[0, 8 + j] & 0xFFFF, 0)
+                        cur0 = (cum0 * vshift).astype(jnp.float32)
                         if iteration_direction > 0:
-                            # runs 0..cRB-1 all above the window <=> the
-                            # deepest of them still ends above wbmax
-                            ok = (WMY - cursor) > wbmax
+                            sweep0 = (WMY - cur0, WMY - cur0) + sweep0[2:]
                         else:
-                            ok = cursor < wbmin
-                        best_k = jnp.where(process & ok, jnp.int32(c * RB),
-                                           best_k)
-                    k_start = jnp.min(jnp.where(process, best_k,
-                                                jnp.int32(MAXR)))
-                    # per-lane cursor at the SHARED k_start (lanes whose own
-                    # checkpoint is deeper just sweep a few extra far-side
-                    # runs; lanes with k_start > nruns are inert — their eb
-                    # is never read under k_valid)
-                    cum0 = jnp.zeros((BG, 128), jnp.int32)
-                    for j in range(NCK * RB):
-                        cum0 = cum0 + jnp.where(
-                            j < k_start, stk_r[0, 8 + j] & 0xFFFF, 0)
-                    cur0 = (cum0 * vshift).astype(jnp.float32)
-                    if iteration_direction > 0:
-                        sweep0 = (WMY - cur0, WMY - cur0) + sweep0[2:]
+                            sweep0 = (cur0, cur0) + sweep0[2:]
                     else:
-                        sweep0 = (cur0, cur0) + sweep0[2:]
+                        k_start = jnp.int32(0)
 
                     def rb_cond(st):
                         k0 = st[0]
@@ -670,7 +674,7 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
     jax.jit,
     static_argnames=("C", "MAXR", "BG", "P", "iteration_direction",
                      "world_max_y", "interpret", "MCC", "ablate", "rb_cap",
-                     "solid_min_y", "solid_max_y"))
+                     "solid_min_y", "solid_max_y", "sweep_skip"))
 def rasterize_chunk(
     stacked,  # (C, 8 + MAXR + MCC, G, 128) int32: the per-cell field stack
               # [ids0, ids1, lod, valid, n_runs, color_off, cmin, cmax,
@@ -683,6 +687,7 @@ def rasterize_chunk(
     world_max_y: float, interpret: bool = False, MCC: int = 0,
     ablate: str = "", rb_cap: int = RB_CAP,
     solid_min_y: float | None = None, solid_max_y: float | None = None,
+    sweep_skip: bool = True,
 ):
     G = raybuf.shape[0]
     assert G % BG == 0, (G, BG)
@@ -695,7 +700,8 @@ def rasterize_chunk(
 
     kern = _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y,
                         MCC=MCC, ablate=ablate, rb_cap=rb_cap,
-                        solid_min_y=solid_min_y, solid_max_y=solid_max_y)
+                        solid_min_y=solid_min_y, solid_max_y=solid_max_y,
+                        sweep_skip=sweep_skip)
 
     def bs_stk():  # (C, NF, G, 128) -> (1, NF, BG, 128) per-cell slice
         return pl.BlockSpec((1, NF, BG, 128), lambda i, c: (c, 0, i, 0),
