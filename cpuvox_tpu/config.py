@@ -106,6 +106,13 @@ class RenderConfig:
     # of this size; bigger blocks merge more spans per walk at the cost of
     # register pressure).  0 = auto (4, the measured round-2 sweet spot)
     kernel_run_block: int = 0
+    # per-slot walk gate ("on" | "off"): inside the merged tile walk, skip a
+    # run slot's divide-heavy side-span uv math for tiles it does not cover
+    # (run spans stack in pixel space, so most tiles are covered by one of
+    # the RB slots).  Output-exact (gated slots' values are unread).  OFF
+    # until the paired TPU A/B says otherwise — in-kernel scf.if cost is
+    # unmeasured and per-launch conds have burned us before (PERF_NOTES 25)
+    kernel_slot_gate: str = "off"
     # checkpoint sweep skip ("on" | "off"): deep-RLE sweeps start at the
     # deepest RB boundary every lane's frustum window provably hasn't
     # reached (far-side runs only move the integer-exact cursor — see

@@ -56,7 +56,7 @@ def _shift_left_one(lod):
 
 def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
                  ablate="", rb_cap=RB_CAP, solid_min_y=None, solid_max_y=None,
-                 sweep_skip=True):
+                 sweep_skip=True, slot_gate=False):
     WMY = float(world_max_y)  # python scalar (weak-typed)
     # solid-bound kill scalars (None = disabled); see the kill comment below
     SMNY = None if solid_min_y is None else float(solid_min_y)
@@ -530,26 +530,44 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
                                 claimed = jnp.zeros(tile.shape, jnp.bool_)
                                 for prm, (in_s, in_c) in zip(slots, covs):
                                     e = lambda x: prm[x][g_row][None, :]
-                                    l = (rows_f - e("rbf_lo")) * e("inv_span")
-                                    wu0 = (e("uvlo0")
-                                           + (e("uvhi0") - e("uvlo0")) * l)
-                                    wu1 = (e("uvlo1")
-                                           + (e("uvhi1") - e("uvlo1")) * l)
-                                    u = wu1 / wu0
-                                    iu = jnp.where(jnp.isnan(u), 0,
-                                                   jnp.floor(u)
-                                                   .astype(jnp.int32))
-                                    cl = e("base_col") + jnp.clip(
-                                        iu, 0, e("len_m1"))
-                                    if MCC:  # select from the inline colors
-                                        val = jnp.zeros_like(cl)
-                                        for kk in range(MCC):
-                                            val = jnp.where(
-                                                cl == kk,
-                                                stk_r[0, 8 + MAXR + kk][g_row]
-                                                [None, :], val)
+
+                                    def side_val(e=e):
+                                        # per-pixel uv interpolation + divide
+                                        # for this slot's side span
+                                        l = ((rows_f - e("rbf_lo"))
+                                             * e("inv_span"))
+                                        wu0 = (e("uvlo0")
+                                               + (e("uvhi0") - e("uvlo0")) * l)
+                                        wu1 = (e("uvlo1")
+                                               + (e("uvhi1") - e("uvlo1")) * l)
+                                        u = wu1 / wu0
+                                        iu = jnp.where(jnp.isnan(u), 0,
+                                                       jnp.floor(u)
+                                                       .astype(jnp.int32))
+                                        cl = e("base_col") + jnp.clip(
+                                            iu, 0, e("len_m1"))
+                                        if MCC:  # select the inline colors
+                                            val = jnp.zeros_like(cl)
+                                            for kk in range(MCC):
+                                                val = jnp.where(
+                                                    cl == kk,
+                                                    stk_r[0, 8 + MAXR + kk]
+                                                    [g_row][None, :], val)
+                                        else:
+                                            val = cl
+                                        return val
+
+                                    if slot_gate:
+                                        # run spans stack in pixel space, so a
+                                        # tile is typically covered by ONE
+                                        # slot: skip the divide-heavy span
+                                        # math for slots with no coverage here
+                                        # (in_s all-false => val is unread)
+                                        val = jax.lax.cond(
+                                            jnp.any(in_s), side_val,
+                                            lambda: jnp.zeros_like(tile))
                                     else:
-                                        val = cl
+                                        val = side_val()
                                     chosen = jnp.where(in_s & ~claimed, val,
                                                        chosen)
                                     claimed = claimed | in_s
@@ -674,7 +692,7 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
     jax.jit,
     static_argnames=("C", "MAXR", "BG", "P", "iteration_direction",
                      "world_max_y", "interpret", "MCC", "ablate", "rb_cap",
-                     "solid_min_y", "solid_max_y", "sweep_skip"))
+                     "solid_min_y", "solid_max_y", "sweep_skip", "slot_gate"))
 def rasterize_chunk(
     stacked,  # (C, 8 + MAXR + MCC, G, 128) int32: the per-cell field stack
               # [ids0, ids1, lod, valid, n_runs, color_off, cmin, cmax,
@@ -687,7 +705,7 @@ def rasterize_chunk(
     world_max_y: float, interpret: bool = False, MCC: int = 0,
     ablate: str = "", rb_cap: int = RB_CAP,
     solid_min_y: float | None = None, solid_max_y: float | None = None,
-    sweep_skip: bool = True,
+    sweep_skip: bool = True, slot_gate: bool = False,
 ):
     G = raybuf.shape[0]
     assert G % BG == 0, (G, BG)
@@ -701,7 +719,7 @@ def rasterize_chunk(
     kern = _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y,
                         MCC=MCC, ablate=ablate, rb_cap=rb_cap,
                         solid_min_y=solid_min_y, solid_max_y=solid_max_y,
-                        sweep_skip=sweep_skip)
+                        sweep_skip=sweep_skip, slot_gate=slot_gate)
 
     def bs_stk():  # (C, NF, G, 128) -> (1, NF, BG, 128) per-cell slice
         return pl.BlockSpec((1, NF, BG, 128), lambda i, c: (c, 0, i, 0),
