@@ -113,6 +113,11 @@ class RenderConfig:
     # until the paired TPU A/B says otherwise — in-kernel scf.if cost is
     # unmeasured and per-launch conds have burned us before (PERF_NOTES 25)
     kernel_slot_gate: str = "off"
+    # walk tile height in raybuffer sublanes (8 | 16): 16 halves walk-loop
+    # iterations for long spans at the cost of doubled minimum work per
+    # covered region (falls back to 8 when the pixel capacity P % 16 != 0).
+    # 0 = auto (8).  Output-exact either way; A/B leg like kernel_run_block
+    kernel_walk_tile: int = 0
     # checkpoint sweep skip ("on" | "off"): deep-RLE sweeps start at the
     # deepest RB boundary every lane's frustum window provably hasn't
     # reached (far-side runs only move the integer-exact cursor — see

@@ -56,7 +56,8 @@ def _shift_left_one(lod):
 
 def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
                  ablate="", rb_cap=RB_CAP, solid_min_y=None, solid_max_y=None,
-                 sweep_skip=True, slot_gate=False):
+                 sweep_skip=True, slot_gate=False, walk_tile=8):
+    WT = walk_tile if (walk_tile in (8, 16) and P % walk_tile == 0) else 8
     WMY = float(world_max_y)  # python scalar (weak-typed)
     # solid-bound kill scalars (None = disabled); see the kill comment below
     SMNY = None if solid_min_y is None else float(solid_min_y)
@@ -497,7 +498,7 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
 
                     wrote_rows = []
                     for g_row in range(BG):
-                        lo_g = jnp.maximum(jnp.min(lo_v[g_row]), 0) & -8
+                        lo_g = jnp.maximum(jnp.min(lo_v[g_row]), 0) & -WT
                         hi_g = jnp.minimum(jnp.max(hi_v[g_row]), P - 1)
 
                         def wcond(st, hi_g=hi_g):
@@ -507,7 +508,7 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
                         def wbody(st, g_row=g_row):
                             w, wr = st
                             rows_i = (jax.lax.broadcasted_iota(
-                                jnp.int32, (8, 128), 0) + w)
+                                jnp.int32, (WT, 128), 0) + w)
                             rows_f = rows_i.astype(jnp.float32)
                             # cheap coverage test first: skip tile IO and span
                             # math for row-tiles no lane of this row covers
@@ -525,7 +526,7 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
                                 anyc = anyc | jnp.any(in_s) | jnp.any(in_c)
 
                             def busy_row():
-                                tile = raybuf_ref[g_row, pl.ds(w, 8), :]
+                                tile = raybuf_ref[g_row, pl.ds(w, WT), :]
                                 chosen = jnp.zeros_like(tile)
                                 claimed = jnp.zeros(tile.shape, jnp.bool_)
                                 for prm, (in_s, in_c) in zip(slots, covs):
@@ -577,14 +578,14 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
                                                          tile.shape), chosen)
                                     claimed = claimed | in_c
                                 do = claimed & (tile < 0)
-                                raybuf_ref[g_row, pl.ds(w, 8), :] = jnp.where(
+                                raybuf_ref[g_row, pl.ds(w, WT), :] = jnp.where(
                                     do, chosen, tile)
                                 return jnp.any(do, axis=0).astype(jnp.int32)
 
                             wrote_add = jax.lax.cond(
                                 anyc, busy_row,
                                 lambda: jnp.zeros((128,), jnp.int32))
-                            return (w + 8, wr | wrote_add)
+                            return (w + WT, wr | wrote_add)
 
                         _, wr_g = jax.lax.while_loop(
                             wcond, wbody, (lo_g, jnp.zeros((128,), jnp.int32)))
@@ -692,7 +693,8 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
     jax.jit,
     static_argnames=("C", "MAXR", "BG", "P", "iteration_direction",
                      "world_max_y", "interpret", "MCC", "ablate", "rb_cap",
-                     "solid_min_y", "solid_max_y", "sweep_skip", "slot_gate"))
+                     "solid_min_y", "solid_max_y", "sweep_skip", "slot_gate",
+                     "walk_tile"))
 def rasterize_chunk(
     stacked,  # (C, 8 + MAXR + MCC, G, 128) int32: the per-cell field stack
               # [ids0, ids1, lod, valid, n_runs, color_off, cmin, cmax,
@@ -705,7 +707,7 @@ def rasterize_chunk(
     world_max_y: float, interpret: bool = False, MCC: int = 0,
     ablate: str = "", rb_cap: int = RB_CAP,
     solid_min_y: float | None = None, solid_max_y: float | None = None,
-    sweep_skip: bool = True, slot_gate: bool = False,
+    sweep_skip: bool = True, slot_gate: bool = False, walk_tile: int = 8,
 ):
     G = raybuf.shape[0]
     assert G % BG == 0, (G, BG)
@@ -719,7 +721,8 @@ def rasterize_chunk(
     kern = _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y,
                         MCC=MCC, ablate=ablate, rb_cap=rb_cap,
                         solid_min_y=solid_min_y, solid_max_y=solid_max_y,
-                        sweep_skip=sweep_skip, slot_gate=slot_gate)
+                        sweep_skip=sweep_skip, slot_gate=slot_gate,
+                        walk_tile=walk_tile)
 
     def bs_stk():  # (C, NF, G, 128) -> (1, NF, BG, 128) per-cell slice
         return pl.BlockSpec((1, NF, BG, 128), lambda i, c: (c, 0, i, 0),

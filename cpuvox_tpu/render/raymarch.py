@@ -933,6 +933,7 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                   solid_min_y: float | None = None,
                   solid_max_y: float | None = None,
                   sweep_skip: bool = True, slot_gate: bool = False,
+                  walk_tile: int = 8,
                   ablate_kernel: str = "", ablate_pipeline: str = ""):
     """Phase 1 with the chunk rasterizer as a Pallas TPU kernel (cpuvox_tpu.ops.
     phase1_kernel).  Same DDA roll + gathers as `phase1`; per-ray state and the
@@ -1086,7 +1087,8 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                 world_max_y=float(world_max_y), interpret=interpret, MCC=MCC,
                 ablate=ablate_kernel, rb_cap=rb_cap,
                 solid_min_y=solid_min_y, solid_max_y=solid_max_y,
-                sweep_skip=sweep_skip, slot_gate=slot_gate)
+                sweep_skip=sweep_skip, slot_gate=slot_gate,
+                walk_tile=walk_tile)
 
         def fetch(ci, valid):
             """Column-record fetch with the dead-slot SPREAD trick: dead slots
@@ -1548,7 +1550,7 @@ march_pallas_jit = jax.jit(
                      "max_runs", "dims", "pixel_len", "block_groups", "interpret",
                      "max_col_colors", "skybox_argb", "occupancy",
                      "gated_cells", "lite_runs", "block_fetch", "rb_cap",
-                     "drain_groups", "sweep_skip", "slot_gate",
+                     "drain_groups", "sweep_skip", "slot_gate", "walk_tile",
                      "ablate_kernel", "ablate_pipeline"))
 
 

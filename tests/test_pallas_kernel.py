@@ -297,25 +297,28 @@ def test_pallas_run_block_sizes_identical():
     assert np.array_equal(outs[4], outs[3])
 
 
-def test_pallas_slot_gate_on_off_identical():
+@pytest.mark.parametrize("knob", [{"kernel_slot_gate": "on"},
+                                  {"kernel_walk_tile": 16}])
+def test_pallas_walk_knobs_identical(knob):
     """kernel_slot_gate (skip a walk slot's side-span uv math for tiles it
-    does not cover) is a pure perf knob: bit-identical on a deep-RLE world
-    (multi-block sweeps) and a sparse world, both pitches."""
+    does not cover) and kernel_walk_tile (16-sublane walk tiles) are pure
+    perf knobs: bit-identical to defaults on a deep-RLE world (multi-block
+    sweeps) and a sparse world, both pitches."""
     for w, pos in ((scenes.random_world(n=300, seed=11), (8, 10, 8)),
                    (scenes.tower_world(x=8, z=12, height=10), (8.5, 5, 2))):
         lods = [w] * 6
         for pitch in (30.0, -60.0):
             cam = cm.Camera(position=pos, pitch_deg=pitch, yaw_deg=50.0,
                             screen=SCREEN)
-            outs = {}
-            for sg in ("on", "off"):
+            outs = []
+            for ov in ({}, knob):
                 cfg = RenderConfig(width=SCREEN[0], height=SCREEN[1],
                                    chunk_steps=8, max_march_chunks=64,
                                    backend="pallas", pallas_interpret=True,
-                                   kernel_slot_gate=sg, occupancy_gate="on")
+                                   occupancy_gate="on", **ov)
                 r = Renderer.create(lods, cfg)
-                outs[sg] = r.render(cam)
-            assert np.array_equal(outs["on"], outs["off"]), pitch
+                outs.append(r.render(cam))
+            assert np.array_equal(outs[0], outs[1]), (knob, pitch)
 
 
 def test_gated_auto_march_budget_guarantees_no_truncation():
