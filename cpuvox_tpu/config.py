@@ -118,6 +118,12 @@ class RenderConfig:
     # covered region (falls back to 8 when the pixel capacity P % 16 != 0).
     # 0 = auto (8).  Output-exact either way; A/B leg like kernel_run_block
     kernel_walk_tile: int = 0
+    # DDA roll backend ("on" = one Pallas program per chunk roll instead of
+    # the lax.scan; ops/roll_kernel).  Bit-identical visit lists (the roll's
+    # ops have no rounding ambiguity); targets the scan's per-iteration
+    # launch overhead (~15 ms/frame, PERF_NOTES trace).  "off" until the
+    # paired TPU A/B confirms the win
+    kernel_roll: str = "off"
     # checkpoint sweep skip ("on" | "off"): deep-RLE sweeps start at the
     # deepest RB boundary every lane's frustum window provably hasn't
     # reached (far-side runs only move the integer-exact cursor — see

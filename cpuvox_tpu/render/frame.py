@@ -36,7 +36,7 @@ F = np.float32
                      "max_col_colors", "skybox_argb", "occupancy",
                      "gated_cells", "lite_runs", "block_fetch", "rb_cap",
                      "drain_groups", "solid_min_y", "solid_max_y",
-                     "sweep_skip", "slot_gate", "walk_tile"))
+                     "sweep_skip", "slot_gate", "walk_tile", "roll_pallas"))
 def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
               backend, interpret, iteration_direction, chunk, max_chunks,
               max_runs, dims, pixel_len, width, height, R,
@@ -44,7 +44,8 @@ def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
               max_col_colors=0, skybox_argb=0xFF191919, occupancy=False,
               gated_cells=0, lite_runs=0, block_fetch=True, rb_cap=4,
               drain_groups=0, solid_min_y=None, solid_max_y=None,
-              sweep_skip=True, slot_gate=False, walk_tile=8):
+              sweep_skip=True, slot_gate=False, walk_tile=8,
+              roll_pallas=False):
     if init is None:
         static, dda, alive0 = device_init.init_rays_device(fp, dims, R)
     else:
@@ -63,7 +64,8 @@ def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
             block_fetch=block_fetch, rb_cap=rb_cap,
             drain_groups=drain_groups,
             solid_min_y=solid_min_y, solid_max_y=solid_max_y,
-            sweep_skip=sweep_skip, slot_gate=slot_gate, walk_tile=walk_tile)
+            sweep_skip=sweep_skip, slot_gate=slot_gate, walk_tile=walk_tile,
+            roll_pallas=roll_pallas)
     else:
         raybuf_idx = raymarch.phase1(
             wa, static, dda, alive0, fp.lod_distances, fp.far_clip,
@@ -287,7 +289,8 @@ class Renderer:
             solid_max_y=self.solid_bounds[1],
             sweep_skip=getattr(cfg, "kernel_sweep_skip", "on") != "off",
             slot_gate=getattr(cfg, "kernel_slot_gate", "off") == "on",
-            walk_tile=getattr(cfg, "kernel_walk_tile", 0) or 8)
+            walk_tile=getattr(cfg, "kernel_walk_tile", 0) or 8,
+            roll_pallas=getattr(cfg, "kernel_roll", "off") == "on")
         return screen, argb, (segs, ctxs, vp_screen, cam_data, cam)
 
     def render(self, cam: cm.Camera, return_raybuffers: bool = False):

@@ -482,6 +482,63 @@ def _roll_chunk(dda: DDAState, alive, dirs, lod_distances, far_clip, dims, chunk
     return dda, alive, visits
 
 
+def _roll_chunk_pallas(dda: DDAState, alive, dirs, lod_distances, far_clip,
+                       dims, chunk, interpret=False):
+    """`_roll_chunk` as ONE Pallas program (ops/roll_kernel) — bit-identical
+    visit list and carry-out (the roll's ops have no rounding ambiguity; see
+    the kernel docstring), minus the per-scan-iteration launch overhead."""
+    from ..ops import roll_kernel as rk
+
+    R = dda.pos.shape[0]
+    NLD = lod_distances.shape[0]
+    if R % 128 != 0 or NLD > 7:
+        return _roll_chunk(dda, alive, dirs, lod_distances, far_clip, dims,
+                           chunk)
+    G = R // 128
+
+    def g(x):
+        return x.reshape(G, 128)
+
+    state = {
+        "pos_x": g(dda.pos[:, 0]), "pos_z": g(dda.pos[:, 1]),
+        "tmax_x": g(dda.tmax[:, 0]), "tmax_z": g(dda.tmax[:, 1]),
+        "tdelta_x": g(dda.tdelta[:, 0]), "tdelta_z": g(dda.tdelta[:, 1]),
+        "stp_x": g(dda.stp[:, 0]), "stp_z": g(dda.stp[:, 1]),
+        "ids0": g(dda.ids[:, 0]), "ids1": g(dda.ids[:, 1]),
+        "lod": g(dda.lod), "alive": g(alive.astype(jnp.int32)),
+    }
+    aux = jnp.concatenate([
+        jnp.broadcast_to(lod_distances[:, None].astype(jnp.float32),
+                         (NLD, 128)),
+        jnp.zeros((7 - NLD, 128), jnp.float32),
+        jnp.full((1, 128), far_clip, jnp.float32)], axis=0)
+    vis, st = rk.roll_chunk_pallas(
+        state, aux, g(dirs[:, 0]), g(dirs[:, 1]),
+        C=chunk, X=int(dims[0]), Z=int(dims[2]), NLD=NLD,
+        interpret=interpret)
+
+    def fr(i):  # visit field -> (C, R)
+        return vis[:, i].reshape(chunk, R)
+
+    def ff(i):  # f32 visit field
+        return jax.lax.bitcast_convert_type(fr(i), jnp.float32)
+
+    def st2(a, b):
+        return jnp.stack([a, b], axis=-1)
+
+    visits = (st2(fr(0), fr(1)), st2(ff(2), ff(3)), fr(4), fr(5) != 0,
+              st2(fr(6), fr(7)), st2(ff(8), ff(9)), st2(ff(10), ff(11)),
+              fr(12))
+    dda_out = DDAState(
+        pos=st2(st["pos_x"], st["pos_z"]).reshape(R, 2),
+        tmax=st2(st["tmax_x"], st["tmax_z"]).reshape(R, 2),
+        tdelta=st2(st["tdelta_x"], st["tdelta_z"]).reshape(R, 2),
+        stp=st2(st["stp_x"], st["stp_z"]).reshape(R, 2),
+        ids=st2(st["ids0"], st["ids1"]).reshape(R, 2),
+        lod=st["lod"].reshape(R))
+    return dda_out, st["alive"].reshape(R) != 0, visits
+
+
 def _next_unwritten_geq(seen, c):
     """first y >= c with seen[y] False; (R, P) x (R,) -> (R,)."""
     P = seen.shape[1]
@@ -933,7 +990,7 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                   solid_min_y: float | None = None,
                   solid_max_y: float | None = None,
                   sweep_skip: bool = True, slot_gate: bool = False,
-                  walk_tile: int = 8,
+                  walk_tile: int = 8, roll_pallas: bool = False,
                   ablate_kernel: str = "", ablate_pipeline: str = ""):
     """Phase 1 with the chunk rasterizer as a Pallas TPU kernel (cpuvox_tpu.ops.
     phase1_kernel).  Same DDA roll + gathers as `phase1`; per-ray state and the
@@ -1113,8 +1170,11 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
         def body(carry):
             i, dda, alive, raybuf, state = carry
             march_alive = alive & (state["alive"].reshape(Rk) != 0)
-            dda, march_alive, visits = _roll_chunk(
-                dda, march_alive, dirs, lod_distances, far_clip, dims, chunk)
+            roll = _roll_chunk_pallas if roll_pallas else _roll_chunk
+            kw = {"interpret": interpret} if roll_pallas else {}
+            dda, march_alive, visits = roll(
+                dda, march_alive, dirs, lod_distances, far_clip, dims, chunk,
+                **kw)
             (v_pos, v_ids, v_lod, v_valid,
              p_pos, p_tmax, p_ids, p_lod) = visits  # (C, Rk, ...)
 
@@ -1551,7 +1611,7 @@ march_pallas_jit = jax.jit(
                      "max_col_colors", "skybox_argb", "occupancy",
                      "gated_cells", "lite_runs", "block_fetch", "rb_cap",
                      "drain_groups", "sweep_skip", "slot_gate", "walk_tile",
-                     "ablate_kernel", "ablate_pipeline"))
+                     "roll_pallas", "ablate_kernel", "ablate_pipeline"))
 
 
 def resolve_colors(raybuf_idx, colors, debug_magenta=np.uint32(0xFFFF1493)):

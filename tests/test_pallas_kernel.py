@@ -321,6 +321,50 @@ def test_pallas_walk_knobs_identical(knob):
             assert np.array_equal(outs[0], outs[1]), (knob, pitch)
 
 
+def test_pallas_roll_bit_equals_scan_roll():
+    """ops/roll_kernel (one Pallas program per chunk roll) must reproduce
+    _roll_chunk's visit list and carry-out BIT-identically — every op in the
+    roll is exact or unambiguously rounded (no a*b+c shapes), so any
+    difference is a kernel bug.  Adversarial state: axis-parallel rays
+    (inf tdelta), out-of-bounds positions, dead lanes, mixed LODs."""
+    import jax
+    import jax.numpy as jnp
+
+    from cpuvox_tpu.render import raymarch as rm
+
+    rng = np.random.default_rng(3)
+    R = 256
+    pos = rng.integers(-4, 60, size=(R, 2)).astype(np.int32)
+    dirs = rng.normal(size=(R, 2)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True).astype(np.float32)
+    dirs[:8, 0] = 0.0
+    with np.errstate(divide="ignore"):
+        tdelta = np.abs(1.0 / dirs).astype(np.float32)
+    tmax = (rng.random((R, 2)).astype(np.float32) * tdelta).astype(np.float32)
+    tmax = np.where(np.isfinite(tmax), tmax, np.float32(1e30)).astype(
+        np.float32)
+    dda = rm.DDAState(
+        pos=jnp.asarray(pos), tmax=jnp.asarray(tmax),
+        tdelta=jnp.asarray(tdelta),
+        stp=jnp.asarray(np.where(dirs >= 0, 1, -1).astype(np.int32)),
+        ids=jnp.asarray(np.sort(
+            rng.random((R, 2)).astype(np.float32) * 3.0, axis=1)),
+        lod=jnp.asarray(rng.integers(0, 3, size=R).astype(np.int32)))
+    ld = jnp.asarray(np.array([2., 5., 9., 14., 20., 27.], np.float32))
+    args = (jnp.asarray(rng.random(R) < 0.9), jnp.asarray(dirs), ld,
+            jnp.float32(40.0), (64, 16, 64), 16)
+    a = rm._roll_chunk(dda, *args)
+    b = rm._roll_chunk_pallas(dda, *args, interpret=True)
+
+    def bits(x):
+        x = np.asarray(x)
+        return x.view(np.int32) if x.dtype == np.float32 else x
+
+    for xa, ya in zip(jax.tree_util.tree_leaves(a),
+                      jax.tree_util.tree_leaves(b)):
+        assert np.array_equal(bits(xa), bits(ya))
+
+
 def test_gated_auto_march_budget_guarantees_no_truncation():
     """The auto march budget on the GATED path must be 3*max_dim + 64: every
     gated iteration provably advances >= 1 rasterized cell or >= chunk DDA
