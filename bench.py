@@ -9,10 +9,46 @@ Env knobs:
   BENCH_WH      "1920x1080" (default)
   BENCH_FRAMES  frames timed along the flythrough (default 24; VERDICT r3 weak 4 — 12 was a thin sample)
 """
+import contextlib
 import json
 import os
+import signal
 import sys
 import time
+
+# Global wall-clock deadline (seconds from process start).  The driver runs
+# this script under its own timeout; round 4's official record was LOST to
+# rc=124 (a cold compile+verify through a degraded tunnel outran the driver).
+# Every stage below budgets against this deadline and degrades gracefully
+# (skip verify, emit a partial/labeled record) instead of running past it.
+T_START = time.time()
+DEADLINE = T_START + float(os.environ.get("BENCH_DEADLINE_S", "1500"))
+
+
+def remaining() -> float:
+    return DEADLINE - time.time()
+
+
+class StageTimeout(Exception):
+    pass
+
+
+@contextlib.contextmanager
+def stage_budget(seconds: float, name: str):
+    """SIGALRM watchdog for a bench stage.  Best-effort: a hang inside a
+    non-interruptible C call (a dead PJRT fetch) only raises once control
+    returns to Python — but compile-bound slowness (the round-4 failure mode)
+    IS interruptible this way."""
+    def handler(signum, frame):
+        raise StageTimeout(name)
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(max(1, int(seconds)))
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def log(*a):
@@ -282,9 +318,25 @@ def run_interactive_latency(scene="mill1024", whs=((320, 180), (1920, 1080)),
 
 def main():
     scene = os.environ.get("BENCH_SCENE", "terrain2048")
+    try:
+        _main(scene)
+    except BaseException as e:  # noqa: BLE001 — ALWAYS leave a labeled record
+        if isinstance(e, SystemExit):
+            raise  # verify divergence already printed its own JSON line
+        log(f"bench failed: {type(e).__name__}: {e}")
+        print(json.dumps({
+            "metric": f"fps_{scene}_failed", "value": 0.0, "unit": "fps",
+            "vs_baseline": 0.0, "error": f"{type(e).__name__}: {e}"[:300],
+            "tunnel_degraded": True}), flush=True)
+        raise SystemExit(1)
+
+
+def _main(scene):
     healthy = True
     if os.environ.get("BENCH_WAIT_DEVICE", "1") == "1":
-        healthy = wait_for_device()
+        # leave >= ~10 min of deadline for build+verify+frames
+        healthy = wait_for_device(
+            max_wait_s=max(60.0, min(900.0, remaining() - 600.0)))
     if scene.startswith("interactive"):
         from cpuvox_tpu.utils.jaxcache import enable_persistent_cache
 
@@ -334,10 +386,24 @@ def main():
     log(f"device world uploaded in {time.time() - t0:.1f}s "
         f"(max_runs={renderer.device_world.max_runs})")
 
+    verify_note = "ok"
     if cfg.backend != "xla" and os.environ.get("BENCH_VERIFY", "1") == "1":
-        verify_backends(renderer, cfg)
+        # the XLA-twin compile is the big marginal cost here (the pallas
+        # compile is shared with the bench frames); skip it rather than lose
+        # the whole record to the driver timeout (round-4 rc=124)
+        if remaining() < 360:
+            verify_note = "skipped_deadline"
+            log(f"verify SKIPPED: {remaining():.0f}s left of deadline")
+        else:
+            try:
+                with stage_budget(remaining() - 180, "verify"):
+                    verify_backends(renderer, cfg)
+            except StageTimeout:
+                verify_note = "timeout"
+                log("verify timed out; proceeding to frames")
 
-    metrics = run_flythrough(renderer, n_frames=n_frames, log=log)
+    with stage_budget(max(120, remaining() - 30), "flythrough"):
+        metrics = run_flythrough(renderer, n_frames=n_frames, log=log)
     result = {
         "metric": f"fps_{scene}_{w}x{h}",
         "value": round(metrics["fps"], 3),
@@ -351,6 +417,8 @@ def main():
         "world_voxels_all_lods": metrics["world_voxels"],
         "n_frames": metrics["n_frames"],
     }
+    if verify_note != "ok":
+        result["verify"] = verify_note
     if not healthy:
         # the health gate gave up — mark the record so downstream consumers
         # (BENCH_*.json, judges) can tell a degraded run from a real one

@@ -113,11 +113,22 @@ class RenderConfig:
     # until the paired TPU A/B says otherwise — in-kernel scf.if cost is
     # unmeasured and per-launch conds have burned us before (PERF_NOTES 25)
     kernel_slot_gate: str = "off"
-    # walk tile height in raybuffer sublanes (8 | 16): 16 halves walk-loop
-    # iterations for long spans at the cost of doubled minimum work per
-    # covered region (falls back to 8 when the pixel capacity P % 16 != 0).
-    # 0 = auto (8).  Output-exact either way; A/B leg like kernel_run_block
+    # walk tile height in raybuffer sublanes (8 | 16 | 32): taller tiles cut
+    # walk-loop iterations (Mosaic control overhead) for long spans at the
+    # cost of more minimum vector work per covered region.  0 = auto: 16 when
+    # the pixel capacity P % 16 == 0 else 8 — paired TPU A/Bs measured
+    # -60 ms p50 on mill2048 and -141 ms on layered2048, 0 px diffs
+    # (perf/queue_out/ab_walk16_*, r5).  Output-exact at any setting
     kernel_walk_tile: int = 0
+    # walk-tile coverage cond ("on" | "off"): "on" (default) wraps each walk
+    # tile's IO + span math in a lax.cond on the cheap coverage test; "off"
+    # runs the tile body unconditionally (a no-op write-back on uncovered
+    # tiles).  With per-row walk bounds most tiles between lo and hi ARE
+    # covered by some lane, so the scf.if is often pure Mosaic control
+    # overhead — the same class of cost the walk-tile height attacks
+    # (kernel_walk_tile=16 measured -60 ms p50 on mill2048).  Output-exact
+    # either way; paired-A/B leg
+    kernel_walk_cond: str = "on"
     # DDA roll backend ("on" = one Pallas program per chunk roll instead of
     # the lax.scan; ops/roll_kernel).  Bit-identical visit lists (the roll's
     # ops have no rounding ambiguity); targets the scan's per-iteration

@@ -56,8 +56,16 @@ def _shift_left_one(lod):
 
 def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
                  ablate="", rb_cap=RB_CAP, solid_min_y=None, solid_max_y=None,
-                 sweep_skip=True, slot_gate=False, walk_tile=8):
-    WT = walk_tile if (walk_tile in (8, 16) and P % walk_tile == 0) else 8
+                 sweep_skip=True, slot_gate=False, walk_tile=8,
+                 walk_cond=True):
+    WT = walk_tile if (walk_tile in (8, 16, 32) and P % walk_tile == 0) else 8
+    if WT != walk_tile and not getattr(_make_kernel, "_wt_warned", False):
+        # ADVICE r4: the P%16 fallback must be loud so an A/B leg can't
+        # silently measure the default tile height
+        _make_kernel._wt_warned = True
+        import sys
+        print(f"WARNING: kernel_walk_tile={walk_tile} fell back to 8 "
+              f"(P={P} not divisible)", file=sys.stderr, flush=True)
     WMY = float(world_max_y)  # python scalar (weak-typed)
     # solid-bound kill scalars (None = disabled); see the kill comment below
     SMNY = None if solid_min_y is None else float(solid_min_y)
@@ -582,9 +590,18 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
                                     do, chosen, tile)
                                 return jnp.any(do, axis=0).astype(jnp.int32)
 
-                            wrote_add = jax.lax.cond(
-                                anyc, busy_row,
-                                lambda: jnp.zeros((128,), jnp.int32))
+                            if walk_cond:
+                                wrote_add = jax.lax.cond(
+                                    anyc, busy_row,
+                                    lambda: jnp.zeros((128,), jnp.int32))
+                            else:
+                                # kernel_walk_cond="off": tiles between the
+                                # per-row bounds are usually covered (128
+                                # lanes of spans per row), so the scf.if is
+                                # pure Mosaic control overhead; an uncovered
+                                # tile's busy_row is a no-op write-back
+                                # (claimed stays false => do stays false)
+                                wrote_add = busy_row()
                             return (w + WT, wr | wrote_add)
 
                         _, wr_g = jax.lax.while_loop(
@@ -694,7 +711,7 @@ def _make_kernel(C, MAXR, BG, P, iteration_direction, world_max_y, MCC=0,
     static_argnames=("C", "MAXR", "BG", "P", "iteration_direction",
                      "world_max_y", "interpret", "MCC", "ablate", "rb_cap",
                      "solid_min_y", "solid_max_y", "sweep_skip", "slot_gate",
-                     "walk_tile"))
+                     "walk_tile", "walk_cond"))
 def rasterize_chunk(
     stacked,  # (C, 8 + MAXR + MCC, G, 128) int32: the per-cell field stack
               # [ids0, ids1, lod, valid, n_runs, color_off, cmin, cmax,
@@ -708,6 +725,7 @@ def rasterize_chunk(
     ablate: str = "", rb_cap: int = RB_CAP,
     solid_min_y: float | None = None, solid_max_y: float | None = None,
     sweep_skip: bool = True, slot_gate: bool = False, walk_tile: int = 8,
+    walk_cond: bool = True,
 ):
     G = raybuf.shape[0]
     assert G % BG == 0, (G, BG)
@@ -722,7 +740,7 @@ def rasterize_chunk(
                         MCC=MCC, ablate=ablate, rb_cap=rb_cap,
                         solid_min_y=solid_min_y, solid_max_y=solid_max_y,
                         sweep_skip=sweep_skip, slot_gate=slot_gate,
-                        walk_tile=walk_tile)
+                        walk_tile=walk_tile, walk_cond=walk_cond)
 
     def bs_stk():  # (C, NF, G, 128) -> (1, NF, BG, 128) per-cell slice
         return pl.BlockSpec((1, NF, BG, 128), lambda i, c: (c, 0, i, 0),

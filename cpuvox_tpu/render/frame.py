@@ -36,7 +36,8 @@ F = np.float32
                      "max_col_colors", "skybox_argb", "occupancy",
                      "gated_cells", "lite_runs", "block_fetch", "rb_cap",
                      "drain_groups", "solid_min_y", "solid_max_y",
-                     "sweep_skip", "slot_gate", "walk_tile", "roll_pallas"))
+                     "sweep_skip", "slot_gate", "walk_tile", "walk_cond",
+                     "roll_pallas"))
 def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
               backend, interpret, iteration_direction, chunk, max_chunks,
               max_runs, dims, pixel_len, width, height, R,
@@ -44,7 +45,7 @@ def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
               max_col_colors=0, skybox_argb=0xFF191919, occupancy=False,
               gated_cells=0, lite_runs=0, block_fetch=True, rb_cap=4,
               drain_groups=0, solid_min_y=None, solid_max_y=None,
-              sweep_skip=True, slot_gate=False, walk_tile=8,
+              sweep_skip=True, slot_gate=False, walk_tile=8, walk_cond=True,
               roll_pallas=False):
     if init is None:
         static, dda, alive0 = device_init.init_rays_device(fp, dims, R)
@@ -65,7 +66,7 @@ def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
             drain_groups=drain_groups,
             solid_min_y=solid_min_y, solid_max_y=solid_max_y,
             sweep_skip=sweep_skip, slot_gate=slot_gate, walk_tile=walk_tile,
-            roll_pallas=roll_pallas)
+            walk_cond=walk_cond, roll_pallas=roll_pallas)
     else:
         raybuf_idx = raymarch.phase1(
             wa, static, dda, alive0, fp.lod_distances, fp.far_clip,
@@ -264,6 +265,19 @@ class Renderer:
                 cam_data, segs, ctxs, dims, fixed_size=R)
             init = (static, dda, alive0)
 
+        walk_tile = getattr(cfg, "kernel_walk_tile", 0)
+        if walk_tile == 0:
+            # auto: 16-sublane walk tiles halve the Mosaic-control-bound walk
+            # loop iterations — paired TPU A/Bs measured -60 ms p50 on
+            # mill2048 (6-2 wins) and -141 ms on layered2048 (8-0), 0 px
+            # diffs (perf/queue_out/ab_walk16_*, r5); 8 remains the fallback
+            # when the pixel capacity isn't 16-divisible
+            walk_tile = 16 if max(rw, rh) % 16 == 0 else 8
+        if walk_tile not in (8, 16, 32):
+            # ADVICE r4: a mis-typed A/B leg must fail loudly, not silently
+            # measure the default
+            raise ValueError(f"kernel_walk_tile must be 0, 8, 16 or 32 "
+                             f"(got {cfg.kernel_walk_tile})")
         interpret = cfg.pallas_interpret or jax.default_backend() == "cpu"
         screen, argb = _frame_fn(
             self._wa, fp,
@@ -289,7 +303,8 @@ class Renderer:
             solid_max_y=self.solid_bounds[1],
             sweep_skip=getattr(cfg, "kernel_sweep_skip", "on") != "off",
             slot_gate=getattr(cfg, "kernel_slot_gate", "off") == "on",
-            walk_tile=getattr(cfg, "kernel_walk_tile", 0) or 8,
+            walk_tile=walk_tile,
+            walk_cond=getattr(cfg, "kernel_walk_cond", "on") != "off",
             roll_pallas=getattr(cfg, "kernel_roll", "off") == "on")
         return screen, argb, (segs, ctxs, vp_screen, cam_data, cam)
 

@@ -25,6 +25,7 @@ in cpuvox_tpu.ops is the performance path and is diffed against this.
 """
 from __future__ import annotations
 
+import sys
 from typing import NamedTuple
 
 import jax
@@ -492,6 +493,13 @@ def _roll_chunk_pallas(dda: DDAState, alive, dirs, lod_distances, far_clip,
     R = dda.pos.shape[0]
     NLD = lod_distances.shape[0]
     if R % 128 != 0 or NLD > 7:
+        # ADVICE r4: loud fallback so a kernel_roll='on' A/B can never
+        # silently benchmark the scan path while labeled as the Pallas leg
+        if not getattr(_roll_chunk_pallas, "_warned", False):
+            _roll_chunk_pallas._warned = True
+            print(f"WARNING: kernel_roll='on' fell back to the scan roll "
+                  f"(R={R} % 128 != 0 or NLD={NLD} > 7)", file=sys.stderr,
+                  flush=True)
         return _roll_chunk(dda, alive, dirs, lod_distances, far_clip, dims,
                            chunk)
     G = R // 128
@@ -990,7 +998,8 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                   solid_min_y: float | None = None,
                   solid_max_y: float | None = None,
                   sweep_skip: bool = True, slot_gate: bool = False,
-                  walk_tile: int = 8, roll_pallas: bool = False,
+                  walk_tile: int = 8, walk_cond: bool = True,
+                  roll_pallas: bool = False,
                   ablate_kernel: str = "", ablate_pipeline: str = ""):
     """Phase 1 with the chunk rasterizer as a Pallas TPU kernel (cpuvox_tpu.ops.
     phase1_kernel).  Same DDA roll + gathers as `phase1`; per-ray state and the
@@ -1145,7 +1154,7 @@ def phase1_pallas(wa, static, dda, alive0, lod_distances, far_clip, world_max_y,
                 ablate=ablate_kernel, rb_cap=rb_cap,
                 solid_min_y=solid_min_y, solid_max_y=solid_max_y,
                 sweep_skip=sweep_skip, slot_gate=slot_gate,
-                walk_tile=walk_tile)
+                walk_tile=walk_tile, walk_cond=walk_cond)
 
         def fetch(ci, valid):
             """Column-record fetch with the dead-slot SPREAD trick: dead slots
@@ -1611,7 +1620,8 @@ march_pallas_jit = jax.jit(
                      "max_col_colors", "skybox_argb", "occupancy",
                      "gated_cells", "lite_runs", "block_fetch", "rb_cap",
                      "drain_groups", "sweep_skip", "slot_gate", "walk_tile",
-                     "roll_pallas", "ablate_kernel", "ablate_pipeline"))
+                     "walk_cond", "roll_pallas", "ablate_kernel",
+                     "ablate_pipeline"))
 
 
 def resolve_colors(raybuf_idx, colors, debug_magenta=np.uint32(0xFFFF1493)):

@@ -35,7 +35,14 @@ w, h = (int(x) for x in wh.split("x"))
 lods = build_world(scene)
 base = RenderConfig(width=w, height=h)
 r_a = Renderer.create(lods, dataclasses.replace(base, **ov_a))
-r_b = dataclasses.replace(r_a, config=dataclasses.replace(base, **ov_b))
+# overrides that change the DEVICE WORLD layout (not just the jit config)
+# need a fresh build for the B leg — sharing r_a's world would silently
+# benchmark the A-leg layout under the B-leg label
+WORLD_FIELDS = {"argb_records", "skybox_rgb"}
+if WORLD_FIELDS & (set(ov_a) | set(ov_b)):
+    r_b = Renderer.create(lods, dataclasses.replace(base, **ov_b))
+else:
+    r_b = dataclasses.replace(r_a, config=dataclasses.replace(base, **ov_b))
 dims = r_a.device_world.dims
 print(f"A: {ov_a}  B: {ov_b}", flush=True)
 

@@ -34,6 +34,40 @@ class TestPath:
         assert a.position == b.position
 
 
+class TestDeadlineGuard:
+    """bench.py stage watchdogs (round-4's official record was lost to an
+    rc=124 driver timeout; every stage now budgets against a deadline)."""
+
+    def test_stage_budget_raises(self):
+        import time as _t
+
+        import bench
+
+        try:
+            with bench.stage_budget(1, "probe"):
+                _t.sleep(2.5)
+            raised = False
+        except bench.StageTimeout as e:
+            raised = True
+            assert "probe" in str(e)
+        assert raised
+
+    def test_stage_budget_clears_alarm(self):
+        import signal
+
+        import bench
+
+        with bench.stage_budget(60, "noop"):
+            pass
+        assert signal.alarm(0) == 0  # no residual pending alarm
+
+    def test_remaining_counts_down(self):
+        import bench
+
+        assert bench.remaining() < float(
+            __import__("os").environ.get("BENCH_DEADLINE_S", "1500")) + 1
+
+
 class TestHarness:
     def test_flythrough_runs(self):
         lods = heightmap_world(dims=(32, 16, 32), seed=3, shell_depth=3,

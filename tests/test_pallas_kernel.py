@@ -298,7 +298,9 @@ def test_pallas_run_block_sizes_identical():
 
 
 @pytest.mark.parametrize("knob", [{"kernel_slot_gate": "on"},
-                                  {"kernel_walk_tile": 16}])
+                                  {"kernel_walk_tile": 16},
+                                  {"kernel_walk_tile": 32},
+                                  {"kernel_walk_cond": "off"}])
 def test_pallas_walk_knobs_identical(knob):
     """kernel_slot_gate (skip a walk slot's side-span uv math for tiles it
     does not cover) and kernel_walk_tile (16-sublane walk tiles) are pure
