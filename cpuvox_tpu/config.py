@@ -51,6 +51,9 @@ class RenderConfig:
     # ARGB records: inline each column's voxel colors into its record so phase 1
     # writes final pixels (no phase-2 color-resolve gather).  Off by default —
     # the wider march-gather rows cost more than the resolve saves on v5e.
+    # Remeasured r5 with the wide-row discount known (64B rows ~1.44x a 32B
+    # row): still LOSES +83 ms p50 on terrain2048 (1-7 wins,
+    # perf/queue_out/ab_argb_terrain2048.log).
     argb_records: bool = False
     # occupancy-gated march ("auto" | "on" | "off"): gather one 16x8-column
     # occupancy-tile row per tile a ray crosses per chunk and fetch full column
@@ -129,11 +132,16 @@ class RenderConfig:
     # (kernel_walk_tile=16 measured -60 ms p50 on mill2048).  Output-exact
     # either way; paired-A/B leg
     kernel_walk_cond: str = "on"
-    # DDA roll backend ("on" = one Pallas program per chunk roll instead of
-    # the lax.scan; ops/roll_kernel).  Bit-identical visit lists (the roll's
-    # ops have no rounding ambiguity); targets the scan's per-iteration
-    # launch overhead (~15 ms/frame, PERF_NOTES trace).  "off" until the
-    # paired TPU A/B confirms the win
+    # DDA roll backend ("on" | "off"): "on" rolls each chunk as ONE Pallas
+    # program instead of the lax.scan (ops/roll_kernel) — bit-identical visit
+    # lists (the roll's ops have no rounding ambiguity); targets the scan's
+    # per-iteration launch overhead.  CAUTION (r5 discovery): the r4-era
+    # "on" leg never actually ran the kernel — the (10,)-padded frame
+    # lod_distances tripped the NLD > 7 fallback every frame, so the r4/r5
+    # early "roll A/Bs" timed two identical scan programs (their deltas were
+    # tunnel noise).  frame.py now slices the padded table to the reachable
+    # 7 entries (valid for lod_levels <= 7); default stays "off" pending a
+    # real paired TPU A/B of the actually-engaged kernel
     kernel_roll: str = "off"
     # checkpoint sweep skip ("on" | "off"): deep-RLE sweeps start at the
     # deepest RB boundary every lane's frustum window provably hasn't

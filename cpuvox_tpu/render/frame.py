@@ -56,8 +56,18 @@ def _frame_fn(wa, fp, tri_a, tri_b, tri_c, ray_count, ray_base, active,
                   pixel_len=pixel_len)
     argb_mode = backend == "pallas" and max_col_colors > 0
     if backend == "pallas":
+        # the (10,)-padded lod_distances (device_init builds 10 entries; the
+        # pad is +inf) silently disabled the Pallas roll kernel: its NLD > 7
+        # fallback fired on EVERY frame (found r5 — the r4 roll "A/B" timed
+        # two identical scan-roll programs).  Entries >= lod_levels are +inf
+        # and unreachable by live lanes (a live ray's interval distance is
+        # < 2*far_clip = distances[lod_levels-1], and dead lanes never
+        # advance), so the leading 7 entries are the whole reachable table
+        # whenever lod_levels <= 7 — roll_pallas is only resolved on under
+        # that condition (frame wiring below)
+        ld_roll = fp.lod_distances[:7] if roll_pallas else fp.lod_distances
         raybuf_idx = raymarch.phase1_pallas(
-            wa, static, dda, alive0, fp.lod_distances, fp.far_clip,
+            wa, static, dda, alive0, ld_roll, fp.far_clip,
             float(dims[1]), fp.cam_pos[1], **common, interpret=interpret,
             max_col_colors=max_col_colors if argb_mode else 0,
             skybox_argb=skybox_argb, occupancy=occupancy,
@@ -305,7 +315,8 @@ class Renderer:
             slot_gate=getattr(cfg, "kernel_slot_gate", "off") == "on",
             walk_tile=walk_tile,
             walk_cond=getattr(cfg, "kernel_walk_cond", "on") != "off",
-            roll_pallas=getattr(cfg, "kernel_roll", "off") == "on")
+            roll_pallas=(getattr(cfg, "kernel_roll", "off") != "off"
+                         and cfg.lod_levels <= 7))
         return screen, argb, (segs, ctxs, vp_screen, cam_data, cam)
 
     def render(self, cam: cm.Camera, return_raybuffers: bool = False):

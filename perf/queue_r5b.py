@@ -32,4 +32,19 @@ step("ab_rb8_mill2048",
      AB + ["mill2048", "1920x1080", "8",
            '{"kernel_walk_tile": 16, "kernel_run_block": 8}',
            '{"kernel_walk_tile": 16}'], 2400)
+# the REAL roll A/B: the r5a legs both ran the scan (NLD>7 fallback, now
+# fixed by the frame-level lod_distances slice) — this is the kernel's first
+# actual engagement on TPU, so the spot-frame equality check matters as much
+# as the timing
+step("ab_roll2_mill2048",
+     AB + ["mill2048", "1920x1080", "8",
+           '{"kernel_roll": "on"}', '{"kernel_roll": "off"}'], 2400)
+step("ab_roll2_terrain2048",
+     AB + ["terrain2048", "1920x1080", "8",
+           '{"kernel_roll": "on"}', '{"kernel_roll": "off"}'], 2400)
+# slot_gate won -64 ms on mill2048 at walk tile 8 (r5a ran before the WT-16
+# default flip); re-check the interaction at the new default tile height
+step("ab_slotgate16_mill2048",
+     AB + ["mill2048", "1920x1080", "8",
+           '{"kernel_slot_gate": "on"}', '{"kernel_slot_gate": "off"}'], 2400)
 log("queue_r5b done")

@@ -323,6 +323,31 @@ def test_pallas_walk_knobs_identical(knob):
             assert np.array_equal(outs[0], outs[1]), (knob, pitch)
 
 
+def test_pallas_roll_engages_on_frame_path(capsys):
+    """kernel_roll='on' must ACTUALLY run ops/roll_kernel on the frame path
+    and stay output-identical.  Regression for the r5 discovery that the
+    (10,)-padded frame lod_distances tripped the roll's NLD > 7 fallback on
+    every frame — the early 'roll A/Bs' timed two identical scan programs.
+    frame.py now slices the padded table to the reachable 7 entries; the
+    loud-fallback warning (ADVICE r4) is what this test listens for."""
+    from cpuvox_tpu.render import raymarch as rm
+
+    w = scenes.random_world(n=300, seed=11)
+    lods = [w] * 6
+    cam = cm.Camera(position=(8, 10, 8), pitch_deg=30.0, yaw_deg=50.0,
+                    screen=SCREEN)
+    outs = []
+    rm._roll_chunk_pallas._warned = False
+    for roll in ("off", "on"):
+        cfg = RenderConfig(width=SCREEN[0], height=SCREEN[1], chunk_steps=8,
+                           max_march_chunks=64, backend="pallas",
+                           pallas_interpret=True, occupancy_gate="on",
+                           kernel_roll=roll)
+        outs.append(Renderer.create(lods, cfg).render(cam))
+    assert np.array_equal(outs[0], outs[1])
+    assert "fell back to the scan roll" not in capsys.readouterr().err
+
+
 def test_pallas_roll_bit_equals_scan_roll():
     """ops/roll_kernel (one Pallas program per chunk roll) must reproduce
     _roll_chunk's visit list and carry-out BIT-identically — every op in the
