@@ -118,10 +118,11 @@ class RenderConfig:
     kernel_slot_gate: str = "off"
     # walk tile height in raybuffer sublanes (8 | 16 | 32): taller tiles cut
     # walk-loop iterations (Mosaic control overhead) for long spans at the
-    # cost of more minimum vector work per covered region.  0 = auto: 16 when
-    # the pixel capacity P % 16 == 0 else 8 — paired TPU A/Bs measured
-    # -60 ms p50 on mill2048 and -141 ms on layered2048, 0 px diffs
-    # (perf/queue_out/ab_walk16_*, r5).  Output-exact at any setting
+    # cost of more minimum vector work per covered region.  0 = auto: 16 on
+    # occupancy-GATED worlds when P % 16 == 0 (paired TPU A/Bs: -60 ms p50
+    # mill2048, -141 ms layered2048, 0 px diffs) else 8 (dense terrain2048
+    # measured +33 ms at 16; 32 was mill -27 / layered +51 — not escalated;
+    # perf/queue_out/ab_walk*_r5 legs).  Output-exact at any setting
     kernel_walk_tile: int = 0
     # walk-tile coverage cond ("on" | "off"): "on" (default) wraps each walk
     # tile's IO + span math in a lax.cond on the cheap coverage test; "off"

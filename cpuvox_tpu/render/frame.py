@@ -280,9 +280,14 @@ class Renderer:
             # auto: 16-sublane walk tiles halve the Mosaic-control-bound walk
             # loop iterations — paired TPU A/Bs measured -60 ms p50 on
             # mill2048 (6-2 wins) and -141 ms on layered2048 (8-0), 0 px
-            # diffs (perf/queue_out/ab_walk16_*, r5); 8 remains the fallback
-            # when the pixel capacity isn't 16-divisible
-            walk_tile = 16 if max(rw, rh) % 16 == 0 else 8
+            # diffs (perf/queue_out/ab_walk16_*, r5) — but LOSE +33 ms on
+            # dense terrain2048 (3-5; its kernel is only ~28 ms and the
+            # taller tile's extra vector work has too few iterations to
+            # amortize), so auto gates on occupancy like the other deep-world
+            # policies.  32 went -27 on mill2048 but +51 on layered2048
+            # (ab_walk32_*): not escalated
+            walk_tile = 16 if (self.occupancy_on
+                               and max(rw, rh) % 16 == 0) else 8
         if walk_tile not in (8, 16, 32):
             # ADVICE r4: a mis-typed A/B leg must fail loudly, not silently
             # measure the default
