@@ -107,7 +107,11 @@ class RenderConfig:
     # kernel run-block size: runs swept in registers per merged tile walk
     # inside the Pallas rasterizer (deep-RLE worlds sweep MAXR runs in blocks
     # of this size; bigger blocks merge more spans per walk at the cost of
-    # register pressure).  0 = auto (4, the measured round-2 sweet spot)
+    # register pressure).  0 = auto: 8 on occupancy-gated worlds (half the
+    # rb_body iterations => half the merged walks; -28 ms p50 on mill2048 at
+    # walk tile 16, 5-3 wins, ab_rb8_mill2048 r5 — at WT=8 it was a wash,
+    # finding 29's control-overhead shift), else 4 (dense worlds with
+    # MAXR <= 4 use the single unrolled sweep and never read this)
     kernel_run_block: int = 0
     # per-slot walk gate ("on" | "off"): inside the merged tile walk, skip a
     # run slot's divide-heavy side-span uv math for tiles it does not cover
@@ -124,15 +128,16 @@ class RenderConfig:
     # measured +33 ms at 16; 32 was mill -27 / layered +51 — not escalated;
     # perf/queue_out/ab_walk*_r5 legs).  Output-exact at any setting
     kernel_walk_tile: int = 0
-    # walk-tile coverage cond ("on" | "off"): "on" (default) wraps each walk
+    # walk-tile coverage cond ("auto" | "on" | "off"): "on" wraps each walk
     # tile's IO + span math in a lax.cond on the cheap coverage test; "off"
     # runs the tile body unconditionally (a no-op write-back on uncovered
     # tiles).  With per-row walk bounds most tiles between lo and hi ARE
     # covered by some lane, so the scf.if is often pure Mosaic control
-    # overhead — the same class of cost the walk-tile height attacks
-    # (kernel_walk_tile=16 measured -60 ms p50 on mill2048).  Output-exact
-    # either way; paired-A/B leg
-    kernel_walk_cond: str = "on"
+    # overhead: "off" measured -41 ms p50 on mill2048 at walk tile 16 (5-3
+    # wins, ab_walkcond_mill2048 r5).  "auto" resolves OFF on occupancy-gated
+    # worlds and ON on the dense path (unmeasured there; its kernel is ~28 ms
+    # total).  Output-exact at any setting
+    kernel_walk_cond: str = "auto"
     # DDA roll backend ("on" | "off"): "on" rolls each chunk as ONE Pallas
     # program instead of the lax.scan (ops/roll_kernel) — bit-identical visit
     # lists (the roll's ops have no rounding ambiguity); targets the scan's
@@ -142,8 +147,11 @@ class RenderConfig:
     # early "roll A/Bs" timed two identical scan programs (their deltas were
     # tunnel noise).  frame.py now slices the padded table to the reachable
     # 7 entries (valid for lod_levels <= 7); default stays "off" pending a
-    # real paired TPU A/B of the actually-engaged kernel
-    kernel_roll: str = "off"
+    # real paired TPU A/B of the actually-engaged kernel.  That A/B landed
+    # (ab_roll2_*, r5): -52 ms p50 on mill2048 (7-1 wins), -5 ms on
+    # terrain2048 (6-2), 0 px diffs, no fallback — default is now "on"
+    # (frame wiring still requires lod_levels <= 7 for the reachable-slice)
+    kernel_roll: str = "on"
     # checkpoint sweep skip ("on" | "off"): deep-RLE sweeps start at the
     # deepest RB boundary every lane's frustum window provably hasn't
     # reached (far-side runs only move the integer-exact cursor — see

@@ -312,14 +312,16 @@ class Renderer:
             gated_cells=cfg.gated_group_cells,
             lite_runs=self.lite_runs_resolved,
             block_fetch=self.block_fetch_on,
-            rb_cap=cfg.kernel_run_block or 4,
+            rb_cap=cfg.kernel_run_block or (8 if self.occupancy_on else 4),
             drain_groups=getattr(cfg, "drain_groups", 0),
             solid_min_y=self.solid_bounds[0],
             solid_max_y=self.solid_bounds[1],
             sweep_skip=getattr(cfg, "kernel_sweep_skip", "on") != "off",
             slot_gate=getattr(cfg, "kernel_slot_gate", "off") == "on",
             walk_tile=walk_tile,
-            walk_cond=getattr(cfg, "kernel_walk_cond", "on") != "off",
+            walk_cond=(getattr(cfg, "kernel_walk_cond", "auto") == "on"
+                       or (getattr(cfg, "kernel_walk_cond", "auto") == "auto"
+                           and not self.occupancy_on)),
             roll_pallas=(getattr(cfg, "kernel_roll", "off") != "off"
                          and cfg.lod_levels <= 7))
         return screen, argb, (segs, ctxs, vp_screen, cam_data, cam)

@@ -31,6 +31,23 @@ _DUR_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".durations.txt")
 
 
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled-executable state between modules: a monolithic
+    `pytest tests/` run segfaulted INSIDE the XLA CPU compiler (r5, twice,
+    same spot — test_pallas_kernel's rewind case, ~130 tests in) while the
+    same module alone passes 42/42.  The crash correlates with accumulated
+    in-process compiler/executable state, and clearing the jit caches at
+    module boundaries removes it; each module recompiles what it needs."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 def pytest_runtest_logreport(report):
     if report.when == "call":
         try:
