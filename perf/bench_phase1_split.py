@@ -26,11 +26,11 @@ from cpuvox_tpu.render.frame import Renderer  # noqa: E402
 scene = sys.argv[1] if len(sys.argv) > 1 else "mill1024"
 wh = sys.argv[2] if len(sys.argv) > 2 else "1920x1080"
 occ = (sys.argv[3] if len(sys.argv) > 3 else "on") == "on"
-chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+chunk_arg = int(sys.argv[4]) if len(sys.argv) > 4 else 0  # 0 = Renderer auto
 w, h = (int(x) for x in wh.split("x"))
 
 lods = build_world(scene)
-cfg = RenderConfig(width=w, height=h, chunk_steps=chunk, max_march_chunks=192)
+cfg = RenderConfig(width=w, height=h, chunk_steps=chunk_arg)
 r = Renderer.create(lods, cfg)
 wa = r._wa
 dims = r.device_world.dims
@@ -43,19 +43,42 @@ R = r.ray_capacity
 static, dda, alive0, _ = rm.init_rays(cam_data, segs, ctxs, dims, fixed_size=R)
 itd = -1 if cam_data.inverse_element_iteration_direction else 1
 MAXR = r.device_world.max_runs
+# mirror the REAL frame wiring (render_device): the pre-r5 version of this
+# script fell through to phase1_pallas's parameter defaults — walk tile 8,
+# coverage cond on, rb 4, scan roll, chunk 32 AND block_fetch=True (the
+# +456 ms loser) — so its splits measured a configuration no frame runs
+chunk, max_chunks = r.march_params
+occ = occ and r.occupancy_on
+walk_tile = 16 if (occ and max(w, h) % 16 == 0) else 8
+roll_on = getattr(cfg, "kernel_roll", "off") != "off" and cfg.lod_levels <= 7
 lodd = jnp.asarray(cam_data.lod_distances)
+if roll_on:
+    lodd = lodd[:7]
 
 p1 = jax.jit(rm.phase1_pallas, static_argnames=(
     "world_max_y", "iteration_direction", "chunk", "max_chunks", "max_runs",
     "dims", "pixel_len", "block_groups", "interpret", "max_col_colors",
-    "skybox_argb", "occupancy", "block_fetch", "ablate_kernel", "ablate_pipeline"))
+    "skybox_argb", "occupancy", "block_fetch", "gated_cells", "lite_runs",
+    "rb_cap", "drain_groups", "solid_min_y", "solid_max_y", "sweep_skip",
+    "slot_gate", "walk_tile", "walk_cond", "roll_pallas",
+    "ablate_kernel", "ablate_pipeline"))
 
 
 def timed(tag, **kw):
     args = (wa, static, dda, alive0, lodd, cam_data.far_clip, float(dims[1]),
             cam_data.position[1])
-    stat = dict(iteration_direction=itd, chunk=chunk, max_chunks=192,
-                max_runs=MAXR, dims=dims, pixel_len=max(w, h), occupancy=occ)
+    stat = dict(iteration_direction=itd, chunk=chunk, max_chunks=max_chunks,
+                max_runs=MAXR, dims=dims, pixel_len=max(w, h), occupancy=occ,
+                block_fetch=r.block_fetch_on,
+                rb_cap=cfg.kernel_run_block or (8 if occ else 4),
+                solid_min_y=r.solid_bounds[0], solid_max_y=r.solid_bounds[1],
+                sweep_skip=getattr(cfg, "kernel_sweep_skip", "on") != "off",
+                slot_gate=getattr(cfg, "kernel_slot_gate", "off") == "on",
+                walk_tile=walk_tile,
+                walk_cond=(getattr(cfg, "kernel_walk_cond", "auto") == "on"
+                           or (getattr(cfg, "kernel_walk_cond", "auto")
+                               == "auto" and not occ)),
+                roll_pallas=roll_on)
     stat.update(kw)
     t0 = time.time()
     out = p1(*args, **stat)
