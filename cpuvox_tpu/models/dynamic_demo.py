@@ -35,7 +35,16 @@ class DynamicTerrain:
         from cpuvox_tpu.models.procedural import _fbm_heights
 
         X, Y, Z = dims
-        spec = SurfaceWorldSpec(dims=tuple(dims), depth=depth, lod_levels=6)
+        # exact_lod1=False: the demo/bench uses the conservative-union LOD
+        # chain (max_runs 3) — the configuration every dynamic512 round
+        # record was measured with.  The voxel-exact LOD1 tier (r3) is
+        # CORRECT (pixel-tested vs the static chain) but its max_runs=9
+        # records currently stall the march's live-ray decay at demo scale:
+        # 113 ms -> 2.4 s/frame at 720p, per-step cost ~30x, NOT in the
+        # fetch/raster/sweep/roll (all ablations time identically), XLA twin
+        # even slower — bisection data in ROUNDLOG r5; root cause open
+        spec = SurfaceWorldSpec(dims=tuple(dims), depth=depth, lod_levels=6,
+                                exact_lod1=False)
         h = _fbm_heights(X, Z, seed)
         base_top = np.clip((h * (Y * 0.5) + Y * 0.2).astype(np.int64), depth,
                            Y - 2)

@@ -215,16 +215,22 @@ def _fetch_columns(wa: WorldArrays, ci, v_valid, iteration_direction, max_runs,
             return n_runs, None, color_off, cmin, cmax, runs_k, colors_k
         return n_runs, None, color_off, cmin, cmax, runs_k
 
-    rec = wa.col_rec[ci]  # (..., 8)
+    # barrier like the inline path above: without it XLA fuses these gathers
+    # into the surrounding march loop and DE-VECTORIZES them (finding 4) —
+    # measured 21x on the dynamic surface world once exact-LOD1 pushed its
+    # max_runs past the unrolled-sweep threshold (2.4 s/frame -> ~120 ms)
+    rec = jax.lax.optimization_barrier(
+        wa.col_rec[jax.lax.optimization_barrier(ci.ravel())])
+    rec = rec.reshape(ci.shape + (rec.shape[-1],))  # (..., 8)
     n_runs = jnp.where(v_valid, rec[..., 0], 0)
     run_off = rec[..., 1]
     color_off = rec[..., 2]
     cmin = rec[..., 3]
     cmax = rec[..., 4]
     runs_src = wa.runs if iteration_direction > 0 else wa.runs_rev
-    flat_off = run_off.ravel()
-    runs_k = jax.vmap(
-        lambda o: jax.lax.dynamic_slice(runs_src, (o,), (max_runs,)))(flat_off)
+    flat_off = jax.lax.optimization_barrier(run_off.ravel())
+    runs_k = jax.lax.optimization_barrier(jax.vmap(
+        lambda o: jax.lax.dynamic_slice(runs_src, (o,), (max_runs,)))(flat_off))
     runs_k = runs_k.reshape(run_off.shape + (max_runs,))
     return n_runs, run_off, color_off, cmin, cmax, runs_k
 
