@@ -15,6 +15,16 @@ Layout notes mirrored from rle.py:
   coordinates — identical to rle._expand_soup + downsample, because expanding
   LOD0's runs reproduces exactly its deduped voxels in order.
 
+Cascade (round 5): levels >= 1 no longer re-sort the full LOD0 soup.  Every
+LOD-L color is the FLAT floor-mean of LOD0-averaged channel values over the
+LOD0 deduped voxels inside the 2^L cube (rle.downsample routes the _same_
+LOD0 soup through _dedupe_and_average at every level), so carrying per-voxel
+channel SUMS + COUNTS from level to level reproduces each level's sums
+exactly (integer addition; floor division only when materializing that
+level's colors, never fed forward).  Input size then shrinks ~4x per level
+(bucketed to keep the executable zoo bounded), which removes the flat
+full-soup-sort cost per level (3.1 s/level at 2048^3, PERF_NOTES r5).
+
 Requires a process with jax_enable_x64 (int64 dedupe keys) — the same process
 mode the device voxelizer needs (assets/convert_cli.py sets it up).
 """
@@ -29,50 +39,53 @@ from cpuvox_tpu.world.rle import WorldLOD
 BIG32 = np.int32(2**31 - 1)
 
 
-def _level_fn():
-    """Build the jitted per-level kernel (lazy jax import)."""
+def _level_fns():
+    """Build the jitted per-level kernels (lazy jax import).
+
+    Returns (level, level_cascade):
+    - level: the legacy full-soup kernel (packed rgb rows, count 1 each) —
+      byte-identical to the round-3 kernel; used for LOD0 (and the
+      cascade=False ablation path at every level).
+    - level_cascade: consumes the previous level's deduped voxels with
+      per-voxel channel sums + counts, collapses ONE octave, and emits the
+      same packed tables plus the next level's sums/counts.
+    """
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     BIG64 = jnp.int64(1) << jnp.int64(62)
+    i32 = jnp.int32
 
-    @functools.partial(jax.jit, static_argnames=("N",))
-    def level(x, z, y0, rgbp, valid, lod, y_dim, z_dim, N):
-        # `lod` AND the world dims are TRACED so ONE executable serves every
-        # chain level of every world — each distinct jit signature costs a
-        # multi-second cached-executable load through this environment's
-        # tunnel.  Coordinates arrive at LOD0 granularity and collapse here:
-        # xz = (x>>L)*(Z>>L) + (z>>L), y>>L (identity at L=0) — exactly
-        # rle.downsample's transform.
-        i32 = jnp.int32
-        xz = (x >> lod) * (z_dim >> lod) + (z >> lod)
-        y = y0 >> lod
-        height = y_dim >> lod
-        top_y = height - 1
+    def _finish(key_s, xz_s, y_s, r_row, g_row, b_row, cn_row, height,
+                scale_shift, N, want_sums):
+        """Everything after the dedupe sort: group, average, runs, tables.
+
+        key_s..cn_row are sorted-by-key per-row arrays; r_row/g_row/b_row are
+        each row's channel CONTRIBUTION and cn_row its source count (1 for
+        raw soup rows).  `height` is the target level's column height and
+        `scale_shift` the target ABSOLUTE lod (voxel_scale = 1 << shift).
+        """
         iota = lax.iota(i32, N)
         first = iota == 0
+        top_y = height - 1
 
         def prev(a, fill=0):
             return jnp.concatenate([jnp.full((1,), fill, a.dtype), a[:-1]])
 
         # ---- dedupe & average (rle._dedupe_and_average)
-        yi = y.astype(jnp.int64)
-        ymax = jnp.max(jnp.where(valid, yi, 0))
-        key = jnp.where(valid, xz.astype(jnp.int64) * (ymax + 1) + (ymax - yi),
-                        BIG64)
-        key_s, xz_s, y_s, rgb_s = lax.sort((key, xz, y, rgbp), num_keys=1)
         dv = key_s < BIG64
         new = dv & (first | (key_s != prev(key_s, -1)))
         gid = jnp.maximum(jnp.cumsum(new.astype(i32)) - 1, 0)
-        r = rgb_s & 0xFF
-        g = (rgb_s >> 8) & 0xFF
-        b = (rgb_s >> 16) & 0xFF
-        cnt = jax.ops.segment_sum(dv.astype(i32), gid, num_segments=N)
+        cnt = jax.ops.segment_sum(jnp.where(dv, cn_row, 0), gid,
+                                  num_segments=N)
         c1 = jnp.maximum(cnt, 1)
-        rs = jax.ops.segment_sum(jnp.where(dv, r, 0), gid, N) // c1
-        gs = jax.ops.segment_sum(jnp.where(dv, g, 0), gid, N) // c1
-        bs = jax.ops.segment_sum(jnp.where(dv, b, 0), gid, N) // c1
+        rsum = jax.ops.segment_sum(jnp.where(dv, r_row, 0), gid, N)
+        gsum = jax.ops.segment_sum(jnp.where(dv, g_row, 0), gid, N)
+        bsum = jax.ops.segment_sum(jnp.where(dv, b_row, 0), gid, N)
+        rs = rsum // c1
+        gs = gsum // c1
+        bs = bsum // c1
         colors = ((jnp.uint32(255) << 24) | (rs.astype(jnp.uint32) << 16)
                   | (gs.astype(jnp.uint32) << 8) | bs.astype(jnp.uint32))
         n_dedupe = new.sum()
@@ -136,7 +149,7 @@ def _level_fn():
         _, runs3 = lax.sort((key3, val3), num_keys=1)
         total_runs = (emit.sum() + has_trail_p.sum()).astype(i32)
 
-        vs = jnp.int32(1) << lod
+        vs = jnp.int32(1) << scale_shift
         cmin_p = jnp.where(cval, cbot_p * vs, 0)
         cmax_p = jnp.where(cval, (ctop_p + 1) * vs, 0)
         # ONE per-column table so the host fetches it with a single sliced
@@ -148,11 +161,69 @@ def _level_fn():
         # cmin are < 2^16 for any y_dim <= 65535 (asserted by the caller)
         tab_col = jnp.stack(
             [occ_p, runs_per_col_p | (cmin_p << 16), cmax_p], axis=1)
-        return dict(colors=colors, xz_d=xz_d, y_d=y_d,
-                    runs3=runs3, tab_col=tab_col,
-                    n_dedupe=n_dedupe, n_runs_total=total_runs, n_occ=n_occ)
+        out = dict(colors=colors, xz_d=xz_d, y_d=y_d,
+                   runs3=runs3, tab_col=tab_col,
+                   n_dedupe=n_dedupe, n_runs_total=total_runs, n_occ=n_occ)
+        if want_sums:
+            # per-GROUP channel sums + source counts (aligned with colors:
+            # groups packed at the front), the next cascade level's input
+            out.update(rsum=rsum, gsum=gsum, bsum=bsum, cnt=cnt)
+        return out
 
-    return level
+    @functools.partial(jax.jit, static_argnames=("N",))
+    def level(x, z, y0, rgbp, valid, lod, y_dim, z_dim, N):
+        # `lod` AND the world dims are TRACED so ONE executable serves every
+        # chain level of every world — each distinct jit signature costs a
+        # multi-second cached-executable load through this environment's
+        # tunnel.  Coordinates arrive at LOD0 granularity and collapse here:
+        # xz = (x>>L)*(Z>>L) + (z>>L), y>>L (identity at L=0) — exactly
+        # rle.downsample's transform.
+        xz = (x >> lod) * (z_dim >> lod) + (z >> lod)
+        y = y0 >> lod
+        height = y_dim >> lod
+
+        yi = y.astype(jnp.int64)
+        ymax = jnp.max(jnp.where(valid, yi, 0))
+        key = jnp.where(valid, xz.astype(jnp.int64) * (ymax + 1) + (ymax - yi),
+                        BIG64)
+        # rgb rides the sort PACKED (one cargo word) and splits after —
+        # keeps the big LOD0 soup sort at round-3 cargo width
+        key_s, xz_s, y_s, rgb_s = lax.sort((key, xz, y, rgbp), num_keys=1)
+        r = rgb_s & 0xFF
+        g = (rgb_s >> 8) & 0xFF
+        b = (rgb_s >> 16) & 0xFF
+        one = jnp.ones((), i32)
+        return _finish(key_s, xz_s, y_s, r, g, b,
+                       jnp.broadcast_to(one, (N,)), height, lod, N,
+                       want_sums=False)
+
+    @functools.partial(jax.jit, static_argnames=("N",))
+    def level_cascade(xz0, y0, rsum0, gsum0, bsum0, cnt0, valid, zbits_prev,
+                      scale_shift, y_dim_prev, z_dim_prev, N):
+        # Inputs are the PREVIOUS level's deduped voxels (packed front) with
+        # per-voxel channel sums + LOD0-source counts; collapse one octave.
+        # zbits_prev/dims are traced: one executable per input bucket N.
+        x = xz0 >> zbits_prev
+        z = xz0 & ((i32(1) << zbits_prev) - 1)
+        xz = (x >> 1) * (z_dim_prev >> 1) + (z >> 1)
+        y = y0 >> 1
+        height = y_dim_prev >> 1
+
+        yi = y.astype(jnp.int64)
+        ymax = jnp.max(jnp.where(valid, yi, 0))
+        key = jnp.where(valid, xz.astype(jnp.int64) * (ymax + 1) + (ymax - yi),
+                        BIG64)
+        key_s, xz_s, y_s, rs_s, gs_s, bs_s, cn_s = lax.sort(
+            (key, xz, y, rsum0, gsum0, bsum0, cnt0), num_keys=1)
+        return _finish(key_s, xz_s, y_s, rs_s, gs_s, bs_s, cn_s, height,
+                       scale_shift, N, want_sums=True)
+
+    return level, level_cascade
+
+
+def _level_fn():
+    """Back-compat: the legacy full-soup kernel alone (perf scripts)."""
+    return _level_fns()[0]
 
 
 def _fetch(dev_arr, n):
@@ -169,6 +240,16 @@ def _fetch(dev_arr, n):
         k = (k // 2) * 3 // 2
     k = min(k, dev_arr.shape[0])
     return np.asarray(dev_arr[:k])[:n]
+
+
+def _bucket_rows(n: int, cap: int) -> int:
+    """Cascade input bucket: pow2 (1.5x midpoints above 4M, like _fetch),
+    floor 8192 so tiny worlds share one executable, capped at the source
+    array length."""
+    k = max(8192, 1 << int(np.ceil(np.log2(max(n, 2)))))
+    if n > (1 << 22) and (k // 2) * 3 // 2 >= n:
+        k = (k // 2) * 3 // 2
+    return min(k, cap)
 
 
 def _to_world_lod(out, dims, lod) -> WorldLOD:
@@ -207,11 +288,17 @@ def _to_world_lod(out, dims, lod) -> WorldLOD:
 
 
 def build_lod_chain_device(xz, y, rgbp, valid, dims,
-                           lod_levels: int = 6) -> list[WorldLOD]:
+                           lod_levels: int = 6,
+                           cascade: bool = True) -> list[WorldLOD]:
     """Full soup -> LOD chain on device; returns host WorldLODs.
 
     xz, y, rgbp (r | g<<8 | b<<16), valid: (N,) int32/bool device (or host)
     arrays — the raw LOD0 voxel soup, duplicates allowed.
+
+    cascade=True (default) computes each level >= 1 from the PREVIOUS level's
+    deduped voxels with carried channel sums/counts (bit-identical, ~4x less
+    sort work per level); cascade=False re-sorts the full LOD0 deduped soup
+    at every level (the round-3/4 path, kept as the measured ablation).
     """
     import jax
     import jax.numpy as jnp
@@ -221,7 +308,7 @@ def build_lod_chain_device(xz, y, rgbp, valid, dims,
     if int(dims[1]) > 65535:
         raise ValueError("tab_col packing needs y_dim <= 65535 "
                          f"(got {dims[1]})")
-    level = _level_fn()
+    level, level_cascade = _level_fns()
     xz = jnp.asarray(xz, jnp.int32)
     y = jnp.asarray(y, jnp.int32)
     rgbp = jnp.asarray(rgbp, jnp.int32)
@@ -235,6 +322,10 @@ def build_lod_chain_device(xz, y, rgbp, valid, dims,
     ydim = jnp.int32(dims[1])
     zdim = jnp.int32(dims[2])
     out0 = level(x_raw, z_raw, y, rgbp, valid, jnp.int32(0), ydim, zdim, N=N)
+
+    if cascade:
+        return _chain_cascade(out0, level_cascade, dims, zbits, lod_levels)
+
     outs = [out0]
 
     # LOD-L soup = LOD0's deduped voxels, coordinates collapsed by >> L
@@ -266,4 +357,50 @@ def build_lod_chain_device(xz, y, rgbp, valid, dims,
         if 1 <= nxt < lod_levels:
             outs.append(level(x0, z0, y_d, rgb_d, dval, jnp.int32(nxt), ydim,
                               zdim, N=N))
+    return worlds
+
+
+def _chain_cascade(out0, level_cascade, dims, zbits, lod_levels):
+    """Cascade chain: level L from level L-1's deduped sums (see module doc).
+
+    Dispatch order interleaves compute and fetch like the legacy window: the
+    scalar n_dedupe read syncs level L-1's compute, level L is dispatched,
+    THEN level L-1's big table fetch runs (overlapping level L's compute).
+    Device peak is out0 + two shrinking cascade outputs — below the legacy
+    window's peak.
+    """
+    import jax.numpy as jnp
+
+    outs = [out0]
+    worlds = []
+    for L in range(1, lod_levels):
+        prev = outs[-1]
+        n_prev = int(prev["n_dedupe"])  # syncs level L-1's compute
+        nl = _bucket_rows(n_prev, int(prev["xz_d"].shape[0]))
+        if L == 1:
+            # LOD1 averages LOD0's AVERAGED colors (rle.downsample feeds the
+            # deduped LOD0 set through _dedupe_and_average): unit counts,
+            # channel values from the materialized LOD0 colors
+            c = prev["colors"][:nl].astype(jnp.uint32)
+            rs0 = ((c >> 16) & 0xFF).astype(jnp.int32)
+            gs0 = ((c >> 8) & 0xFF).astype(jnp.int32)
+            bs0 = (c & 0xFF).astype(jnp.int32)
+            cn0 = jnp.ones(nl, jnp.int32)
+        else:
+            rs0 = prev["rsum"][:nl]
+            gs0 = prev["gsum"][:nl]
+            bs0 = prev["bsum"][:nl]
+            cn0 = prev["cnt"][:nl]
+        val = jnp.arange(nl, dtype=jnp.int32) < n_prev
+        zb_prev = zbits - (L - 1)
+        out_l = level_cascade(
+            prev["xz_d"][:nl], prev["y_d"][:nl], rs0, gs0, bs0, cn0, val,
+            jnp.int32(zb_prev), jnp.int32(L),
+            jnp.int32(dims[1] >> (L - 1)), jnp.int32(dims[2] >> (L - 1)),
+            N=nl)
+        outs.append(out_l)
+        # fetch level L-1 while level L computes
+        worlds.append(_to_world_lod(prev, dims, L - 1))
+        outs[L - 1] = None
+    worlds.append(_to_world_lod(outs[-1], dims, lod_levels - 1))
     return worlds

@@ -3,6 +3,11 @@ convert2048_steady_r4.log) into voxelize / per-level LOD compute / per-level
 fetch / host packing / serialize, to find the path to the <=30 s bar
 (VERDICT r3 item 5; reference anecdote WordBuilder.cs:41-96 ~30 s on 4 cores).
 
+NOTE: this profiles the LEGACY (cascade=False) chain internals — the flat
+full-soup re-sort per level this split diagnosed.  Production now defaults to
+the sums/counts cascade (rle_device._chain_cascade); its paired A/B against
+this path is perf/ab_convert_cascade.py.
+
 Run in an x64 process (like assets/convert_cli.py): JAX_ENABLE_X64=1.
 """
 import os

@@ -38,14 +38,16 @@ rgbp = np.concatenate([
     r.astype(np.int32) | (g.astype(np.int32) << 8) | (b.astype(np.int32) << 16),
     np.zeros(pad, np.int32)])
 valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
-dev = build_lod_chain_device(xzp, yp, rgbp, valid, dims, 6)
-
 fields = ("col_offset", "col_runs", "col_color_offset", "col_min", "col_max",
           "runs", "colors")
-for L in range(6):
-    for f in fields:
-        assert np.array_equal(getattr(host[L], f), getattr(dev[L], f)), (L, f)
-    rle.validate_world(dev[L])
+for cascade in (True, False):
+    dev = build_lod_chain_device(xzp, yp, rgbp, valid, dims, 6,
+                                 cascade=cascade)
+    for L in range(6):
+        for f in fields:
+            assert np.array_equal(getattr(host[L], f),
+                                  getattr(dev[L], f)), (cascade, L, f)
+        rle.validate_world(dev[L])
 
 # empty-soup edge case
 dev0 = build_lod_chain_device(np.zeros(128, np.int32), np.zeros(128, np.int32),
